@@ -1,0 +1,103 @@
+"""Public API (SURVEY.md component N14): solve / solve_batch -> Solution."""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ipx.numerics import dtype_of
+from ipx.options import SolverOptions, DEFAULT_OPTIONS
+from ipx.problem.lp import LP, make_lp
+from ipx.ipm import mehrotra
+from ipx.ipm.state import IPMState
+from ipx.status import Status, STATUS_NAMES
+
+
+@dataclass
+class Solution:
+    """Host-side solve result (original problem units)."""
+
+    x: np.ndarray
+    y: np.ndarray
+    s: np.ndarray
+    objective: float
+    dual_objective: float
+    status: int
+    iterations: int
+    rel_gap: float
+    rp_rel: float
+    rd_rel: float
+    trace: np.ndarray   # (max_iter, 8): mu, rp, rd, gap, a_p, a_d, sigma, pobj
+
+    @property
+    def status_name(self) -> str:
+        return STATUS_NAMES.get(self.status, str(self.status))
+
+    @property
+    def optimal(self) -> bool:
+        return self.status == int(Status.OPTIMAL)
+
+    def iteration_table(self) -> str:
+        """Classic IPM iteration log rendered from the on-device trace
+        (reference component R14 equivalent; SURVEY.md §5.5)."""
+        lines = ["iter        mu     rp_rel     rd_rel    rel_gap  alpha_p  alpha_d    sigma"]
+        for i in range(self.iterations):
+            mu, rp, rd, gap, ap, ad, sg, _ = self.trace[i]
+            lines.append(f"{i:4d}  {mu:9.2e}  {rp:9.2e}  {rd:9.2e}  "
+                         f"{gap:9.2e}  {ap:7.4f}  {ad:7.4f}  {sg:7.4f}")
+        return "\n".join(lines)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _run_single(lp: LP, opts: SolverOptions) -> IPMState:
+    return mehrotra.run_single(lp, opts)
+
+
+def _state_to_solution(lp: LP, st, obj_offset: float = 0.0) -> Solution:
+    # Report the best-merit iterate visited (equals the final iterate on a
+    # clean OPTIMAL exit; shields MAX_ITER/STALLED/FAILED exits from late
+    # f32 degradation).  Solution-quality metrics are recomputed host-side
+    # in f64 from the reported point — honest reporting, free of the device's
+    # f32 measurement noise.
+    x = np.asarray(st.best_x, np.float64)
+    y = np.asarray(st.best_y, np.float64)
+    s = np.asarray(st.best_s, np.float64)
+    c = np.asarray(lp.c, np.float64)
+    A = np.asarray(lp.A, np.float64)
+    b = np.asarray(lp.b, np.float64)
+    off = float(np.asarray(lp.obj_offset)) + obj_offset
+    pobj = float(c @ x)
+    rp_rel = float(np.abs(A @ x - b).max(initial=0.0) / (1 + np.abs(b).max(initial=0.0)))
+    rd_rel = float(np.abs(A.T @ y + s - c).max(initial=0.0) / (1 + np.abs(c).max(initial=0.0)))
+    rel_gap = float((x @ s) / (1 + abs(pobj)))
+    return Solution(
+        x=x, y=y, s=s,
+        objective=pobj + off,
+        dual_objective=float(b @ y) + off,
+        status=int(st.status),
+        iterations=int(st.it),
+        rel_gap=rel_gap,
+        rp_rel=rp_rel,
+        rd_rel=rd_rel,
+        trace=np.asarray(st.trace, np.float64),
+    )
+
+
+def solve(c, A=None, b=None, options: Optional[SolverOptions] = None) -> Solution:
+    """Solve one standard-form LP ``min c@x s.t. A@x=b, x>=0`` on device.
+
+    Accepts either ``solve(lp_obj)`` with an :class:`LP` or
+    ``solve(c, A, b)`` with array-likes.
+    """
+    opts = options or DEFAULT_OPTIONS
+    if isinstance(c, LP):
+        lp = c
+    else:
+        lp = make_lp(c, A, b)
+    lp = lp.astype(dtype_of(opts.dtype))
+    st = _run_single(lp, opts)
+    return _state_to_solution(lp, st)

@@ -1,0 +1,263 @@
+"""Mehrotra predictor-corrector as a jit-compiled fixed-shape iteration.
+
+TPU-native re-design of the reference's Python ``while`` loop (SURVEY.md
+§3.1, reference components R3-R11): the whole solve is ONE XLA program — a
+``lax.while_loop`` whose body is the predictor-corrector step.  Control
+crosses host->device exactly once per solve.  All shapes are static; per-
+instance convergence is a masked state freeze so the same step vmaps over
+instance batches (BASELINE.json config 3).
+
+Algorithm [evidence tier B — Mehrotra 1992; Nocedal & Wright ch. 14]:
+  predictor:  solve with r_xs = X S e           -> affine direction
+  centering:  sigma = (mu_aff / mu) ** 3
+  corrector:  solve with r_xs = X S e + dX_a dS_a e - sigma mu e  (factor reused)
+  step:       damped fraction-to-boundary ratio tests.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ipx.numerics import mv, inf_norm
+from ipx.options import SolverOptions
+from ipx.problem.lp import LP
+from ipx.ipm.state import IPMState, init_state, TRACE_COLS
+from ipx.linsys import normal_eq
+from ipx.status import Status
+
+
+def max_step(v: jax.Array, dv: jax.Array) -> jax.Array:
+    """Fraction-to-boundary ratio test: min over dv<0 of -v/dv (else +inf).
+
+    Fused masked reduction (reference R9; BASELINE.json "step-length ratio
+    tests ... as fused reductions") — XLA fuses the where+div+min into one
+    pass; padded lanes must carry dv=0 so they report +inf (SURVEY.md §7
+    hard part 3).
+    """
+    neg = dv < 0
+    ratios = jnp.where(neg, -v / jnp.where(neg, dv, -jnp.ones_like(dv)),
+                       jnp.inf)
+    return jnp.min(ratios)
+
+
+def starting_point(lp: LP, opts: SolverOptions):
+    """Mehrotra least-squares starting point (reference R3), on device.
+
+    Uses the same normal-equations machinery with D^2 = I, so the AA^T
+    factorization reuses the (XLA or Pallas) Cholesky backend.  Returns the
+    AA^T factor as well: it is loop-invariant and reused every iteration to
+    project the search direction back onto A dx = -rp (f32 feasibility-drift
+    control, SURVEY.md §7 hard part 1).
+    """
+    A, b, c = lp.A, lp.b, lp.c
+    ones = jnp.ones_like(c)
+    fac = normal_eq.factor(A, ones, opts)
+    x = mv(A.T, normal_eq.solve(fac, A, b, opts), opts.matmul_precision)
+    y = normal_eq.solve(fac, A, mv(A, c, opts.matmul_precision), opts)
+    s = c - mv(A.T, y, opts.matmul_precision)
+
+    zero = jnp.zeros((), x.dtype)
+    dx = jnp.maximum(-1.5 * jnp.min(x), zero)
+    ds = jnp.maximum(-1.5 * jnp.min(s), zero)
+    x = x + dx
+    s = s + ds
+    xs = jnp.vdot(x, s)
+    # Degenerate fallback (xs <= 0 can only happen for pathological data):
+    bad = ~(xs > 0)
+    x = jnp.where(bad, jnp.ones_like(x), x + 0.5 * xs / jnp.sum(s))
+    s = jnp.where(bad, jnp.ones_like(s), s + 0.5 * xs / jnp.sum(x))
+    return x, y, s, fac
+
+
+def _scalars(lp: LP, x, y, s, prec: str):
+    """Residual norms, duality measure, relative gap (reference R4).
+
+    The gap criterion is the COMPLEMENTARITY gap x@s/(1+|c@x|), not the
+    objective gap |c@x - b@y|: x@s is a sum of positives (no cancellation),
+    so f32 can measure it down to eps*mu, whereas c@x - b@y has an absolute
+    noise floor of ~eps*|c@x| ~ 1e-7 that would make a 1e-6 relative-gap
+    certificate unreliable.  The two coincide to second order once
+    rp, rd <= tol_feas.
+    """
+    n = lp.n
+    rp = mv(lp.A, x, prec) - lp.b
+    rd = mv(lp.A.T, y, prec) + s - lp.c
+    mu = jnp.vdot(x, s) / n
+    pobj = jnp.vdot(lp.c, x)
+    one = jnp.ones((), x.dtype)
+    rp_rel = inf_norm(rp) / (one + inf_norm(lp.b))
+    rd_rel = inf_norm(rd) / (one + inf_norm(lp.c))
+    rel_gap = (mu * n) / (one + jnp.abs(pobj))
+    return rp, rd, mu, rp_rel, rd_rel, rel_gap, pobj
+
+
+def mehrotra_step(lp: LP, state: IPMState, opts: SolverOptions,
+                  fac_aat=None) -> IPMState:
+    """One predictor-corrector iteration (pure; fixed shapes).
+
+    ``fac_aat`` is the loop-invariant Cholesky factor of A A^T (from the
+    starting point); when given, the corrector direction is projected back
+    onto the null-space condition A dx = -rp, canceling the f32 feasibility
+    drift that the ill-conditioned D^2 injects near convergence.
+    """
+    A = lp.A
+    x, y, s = state.x, state.y, state.s
+    prec = opts.matmul_precision
+    dtype = x.dtype
+    n = lp.n
+
+    rp, rd, mu, *_ = _scalars(lp, x, y, s, prec)
+    mu_safe = jnp.maximum(mu, jnp.asarray(1e-30, dtype))
+
+    # --- factor A D^2 A^T once, reuse for both solves (R5, R6) -------------
+    d2 = x / s
+    fac = normal_eq.factor(A, d2, opts)
+
+    def newton_direction(e_p, e_d, e_xs):
+        """Solve the Newton system  A dx = -e_p;  A^T dy + ds = -e_d;
+        S dx + X ds = -e_xs  via the normal equations."""
+        rhs = -e_p - mv(A, d2 * e_d - e_xs / s, prec)
+        dy = normal_eq.solve(fac, A, rhs, opts)
+        ds = -e_d - mv(A.T, dy, prec)
+        dx = -(e_xs / s) - d2 * ds
+        return dx, dy, ds
+
+    def kkt_solve(r_xs):
+        """Newton direction + full-KKT iterative refinement.
+
+        The normal-equations route satisfies the complementarity row exactly
+        but A dx = -rp only to f32 accuracy, and the error is amplified by
+        D^2 ~ 1/mu near convergence (feasibility drift).  Refinement re-solves
+        the SAME factored system with the measured KKT residuals as rhs, so
+        the correction enters through D^2 A^T dy — scale-aware on the small
+        coordinates — and both feasibility and centering stay accurate.
+        """
+        dx, dy, ds = newton_direction(rp, rd, r_xs)
+        for _ in range(opts.kkt_refine_steps):
+            e_p = rp + mv(A, dx, prec)
+            e_d = rd + mv(A.T, dy, prec) + ds
+            e_xs = r_xs + s * dx + x * ds
+            ddx, ddy, dds = newton_direction(e_p, e_d, e_xs)
+            dx, dy, ds = dx + ddx, dy + ddy, ds + dds
+        return dx, dy, ds
+
+    # --- predictor (R7) ------------------------------------------------------
+    dx_a, dy_a, ds_a = kkt_solve(x * s)
+    one = jnp.ones((), dtype)
+    ap_a = jnp.minimum(one, max_step(x, dx_a))
+    ad_a = jnp.minimum(one, max_step(s, ds_a))
+    mu_aff = jnp.vdot(x + ap_a * dx_a, s + ad_a * ds_a) / n
+
+    # --- centering (R8) ------------------------------------------------------
+    ratio = jnp.clip(mu_aff / mu_safe, 0.0, 1.0)
+    sigma = ratio ** jnp.asarray(opts.sigma_power, dtype)
+
+    # --- corrector, factor reused (R10) --------------------------------------
+    dx, dy, ds = kkt_solve(x * s + dx_a * ds_a - sigma * mu)
+
+    # --- damped steps (R9) ----------------------------------------------------
+    if opts.adaptive_damping:
+        eta = jnp.clip(one - mu, opts.damping_floor, opts.alpha_damping)
+    else:
+        eta = jnp.asarray(opts.damping_floor, dtype)
+    alpha_p = jnp.minimum(one, eta * max_step(x, dx))
+    alpha_d = jnp.minimum(one, eta * max_step(s, ds))
+
+    floor = jnp.asarray(opts.pos_floor, dtype)
+    x_new = jnp.maximum(x + alpha_p * dx, floor)
+    y_new = y + alpha_d * dy
+    s_new = jnp.maximum(s + alpha_d * ds, floor)
+
+    # --- convergence / failure bookkeeping -----------------------------------
+    _, _, mu_n, rp_rel, rd_rel, rel_gap, pobj = _scalars(
+        lp, x_new, y_new, s_new, prec)
+
+    finite = (jnp.all(jnp.isfinite(x_new)) & jnp.all(jnp.isfinite(y_new))
+              & jnp.all(jnp.isfinite(s_new)) & jnp.isfinite(rel_gap) & fac.ok)
+    # Static (trace-time) feasibility floor at the dtype representation limit.
+    eps = float(jnp.finfo(dtype).eps)
+    tol_feas = max(opts.tol_feas, opts.feas_eps_mult * eps * float(n) ** 0.5)
+    converged = ((rel_gap <= opts.tol) & (rp_rel <= tol_feas)
+                 & (rd_rel <= tol_feas))
+    # mu floor: below this, f32 conditioning degrades instead of improving
+    # (death-spiral guard).  Report STALLED; the best iterate is returned.
+    stalled = mu_n < jnp.asarray(opts.mu_floor_rel, dtype) * state.mu0
+    status = jnp.where(
+        ~finite, jnp.int32(Status.NUMERICAL_FAILURE),
+        jnp.where(converged, jnp.int32(Status.OPTIMAL),
+                  jnp.where(stalled, jnp.int32(Status.STALLED),
+                            jnp.int32(Status.RUNNING))))
+
+    # On numerical failure keep the last good iterate.
+    keep = finite
+    x_new = jnp.where(keep, x_new, x)
+    y_new = jnp.where(keep, y_new, y)
+    s_new = jnp.where(keep, s_new, s)
+
+    # Best-iterate tracking: merit normalizes each criterion by its tolerance
+    # so "best" agrees with the convergence test (merit <= 1 iff converged).
+    merit = jnp.maximum(
+        rel_gap / opts.tol,
+        jnp.maximum(rp_rel, rd_rel) / tol_feas)
+    better = keep & (merit < state.best_merit)
+    best_x = jnp.where(better, x_new, state.best_x)
+    best_y = jnp.where(better, y_new, state.best_y)
+    best_s = jnp.where(better, s_new, state.best_s)
+    best_merit = jnp.where(better, merit, state.best_merit)
+
+    row = jnp.stack([mu_n, rp_rel, rd_rel, rel_gap,
+                     alpha_p, alpha_d, sigma, pobj]).astype(dtype)
+    trace = lax.dynamic_update_slice(state.trace, row[None, :],
+                                     (state.it, jnp.int32(0)))
+
+    return IPMState(
+        x=x_new, y=y_new, s=s_new,
+        it=state.it + 1, status=status,
+        mu=jnp.where(keep, mu_n, state.mu), mu0=state.mu0,
+        rp_rel=jnp.where(keep, rp_rel, state.rp_rel),
+        rd_rel=jnp.where(keep, rd_rel, state.rd_rel),
+        rel_gap=jnp.where(keep, rel_gap, state.rel_gap),
+        best_x=best_x, best_y=best_y, best_s=best_s, best_merit=best_merit,
+        trace=trace,
+    )
+
+
+def step_masked(lp: LP, state: IPMState, opts: SolverOptions,
+                fac_aat=None) -> IPMState:
+    """Step only while RUNNING; converged/failed instances are frozen.
+
+    Written with ``where`` (not ``cond``) so it is vmap-safe: under vmap a
+    cond becomes a select anyway (SURVEY.md §7 hard part 5).
+    """
+    new = mehrotra_step(lp, state, opts, fac_aat)
+    active = state.status == jnp.int32(Status.RUNNING)
+    return jax.tree_util.tree_map(
+        lambda a, b: jnp.where(active, a, b), new, state)
+
+
+def finalize_status(state: IPMState, opts: SolverOptions) -> IPMState:
+    """RUNNING after the loop means the iteration cap was hit."""
+    import dataclasses
+    hit_cap = ((state.status == jnp.int32(Status.RUNNING))
+               & (state.it >= opts.max_iter))
+    status = jnp.where(hit_cap, jnp.int32(Status.MAX_ITER), state.status)
+    return dataclasses.replace(state, status=status)
+
+
+def run_single(lp: LP, opts: SolverOptions) -> IPMState:
+    """Full solve of one LP: starting point + while_loop. Jit-compatible."""
+    x0, y0, s0, fac_aat = starting_point(lp, opts)
+    mu0 = jnp.vdot(x0, s0) / lp.n
+    state0 = init_state(x0, y0, s0, mu0, opts.max_iter)
+
+    def cond(st: IPMState):
+        return (st.status == jnp.int32(Status.RUNNING)) & (st.it < opts.max_iter)
+
+    def body(st: IPMState):
+        return mehrotra_step(lp, st, opts, fac_aat)
+
+    final = lax.while_loop(cond, body, state0)
+    return finalize_status(final, opts)

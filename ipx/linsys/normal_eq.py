@@ -1,0 +1,108 @@
+"""Normal-equations linear-system layer (SURVEY.md component N8).
+
+Per Mehrotra iteration the KKT system is reduced to
+
+    (A D^2 A^T + reg I) dy = rhs,   D^2 = diag(x/s)
+
+(reference components R5/R6; BASELINE.json names the ``A*D^2*A^T`` form).
+Assembly is a fused XLA einsum ``(A * d2) @ A.T``; factorization is a
+Cholesky (XLA potrf or the Pallas kernel, selected by
+``SolverOptions.chol_backend``); the factor is reused for the predictor and
+corrector solves, each tightened by iterative refinement whose residual is
+computed matrix-free through A at HIGHEST precision — the key device-side
+mitigation for the no-f64-on-TPU problem (SURVEY.md §7 hard part 1).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ipx.numerics import mm, mv
+from ipx.options import SolverOptions
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class NormalEqFactor:
+    """Cholesky factor of the Jacobi-scaled normal matrix.
+
+    L is the Cholesky factor of  J (A D^2 A^T) J + reg I  with
+    J = diag(1/sqrt(diag(A D^2 A^T))).  The diagonal scaling removes the
+    basic-vs-nonbasic scale disparity (which is almost exactly diagonal), so
+    the factored matrix has unit diagonal — the decisive f32 robustness trick:
+    cholesky stays stable far deeper into the ill-conditioned endgame, and
+    ``reg`` is meaningfully relative to 1.
+    """
+    L: jax.Array        # (m, m) lower-triangular Cholesky factor of J M J
+    j: jax.Array        # (m,) Jacobi scale 1/sqrt(diag M)
+    d2: jax.Array       # (n,)
+    ok: jax.Array       # () bool: factorization succeeded (finite, pos diag)
+
+
+def assemble(A: jax.Array, d2: jax.Array, precision: str = "highest"):
+    """M = (A * d2) @ A.T, symmetrized.  One fused einsum on the MXU."""
+    M = mm(A * d2[None, :], A.T, precision)
+    return 0.5 * (M + M.T)
+
+
+def _cholesky(M: jax.Array, backend: str):
+    if backend == "pallas":
+        # Imported lazily: the Pallas kernel module needs a TPU (or interpret
+        # mode); the XLA path must stay importable everywhere.
+        from ipx.kernels.cholesky import cholesky as pallas_cholesky
+        return pallas_cholesky(M)
+    return jnp.linalg.cholesky(M)
+
+
+def factor(A: jax.Array, d2: jax.Array, opts: SolverOptions) -> NormalEqFactor:
+    """Assemble, Jacobi-scale, and factor the regularized normal matrix.
+
+    The Tikhonov term is added AFTER scaling (unit diagonal), so ``opts.reg``
+    is a clean relative perturbation that iterative refinement — whose
+    residual uses the true unscaled, unregularized operator — then removes.
+    """
+    M = assemble(A, d2, opts.matmul_precision)
+    m = M.shape[-1]
+    diag = jnp.diagonal(M)
+    tiny = jnp.asarray(jnp.finfo(M.dtype).tiny, M.dtype)
+    j = jax.lax.rsqrt(jnp.maximum(diag, tiny))
+    Ms = M * j[:, None] * j[None, :]
+    reg = jnp.asarray(opts.reg, M.dtype)
+    Ms = Ms + reg * jnp.eye(m, dtype=M.dtype)
+    L = _cholesky(Ms, opts.chol_backend)
+    ldiag = jnp.diagonal(L)
+    ok = (jnp.all(jnp.isfinite(ldiag)) & jnp.all(ldiag > 0)
+          & jnp.all(jnp.isfinite(j)))
+    return NormalEqFactor(L=L, j=j, d2=d2, ok=ok)
+
+
+def _chol_solve(L: jax.Array, rhs: jax.Array) -> jax.Array:
+    t = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
+    return jax.scipy.linalg.solve_triangular(L.T, t, lower=False)
+
+
+def solve(fac: NormalEqFactor, A: jax.Array, rhs: jax.Array,
+          opts: SolverOptions) -> jax.Array:
+    """Solve (A D^2 A^T) dy = rhs via the regularized factor + refinement.
+
+    The refinement residual is formed matrix-free as
+    ``rhs - A @ (d2 * (A.T @ y))`` at HIGHEST precision against the
+    UNREGULARIZED operator: the factor's Tikhonov term is then a pure
+    preconditioner perturbation that refinement removes (contraction factor
+    ``|1 - lam/(lam+reg)| < 1`` per eigendirection), and the assembled-M
+    rounding is bypassed — together this is what buys f32 the digits needed
+    for a 1e-6 gap (SURVEY.md §7 hard part 1).
+    """
+    def precond_solve(r):
+        # (J M J + reg I)^-1 in the original variables: y = J L^-T L^-1 J r
+        return fac.j * _chol_solve(fac.L, fac.j * r)
+
+    y = precond_solve(rhs)
+    prec = opts.matmul_precision
+    for _ in range(opts.refine_steps):
+        r = rhs - mv(A, fac.d2 * mv(A.T, y, prec), prec)
+        y = y + precond_solve(r)
+    return y

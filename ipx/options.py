@@ -1,0 +1,69 @@
+"""Solver configuration.
+
+One frozen (hashable) dataclass carries every tunable of the framework, so it
+can be passed as a static argument to ``jax.jit``.  This is the TPU-native
+replacement for the reference repo's hard-coded constants / function kwargs
+(SURVEY.md §5.6; reference component R11).
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class SolverOptions:
+    """Options for the Mehrotra predictor-corrector IPM.
+
+    All fields are plain scalars so the instance is hashable and can be used
+    as a ``static_argnums`` argument under ``jax.jit``.
+    """
+
+    # --- termination -------------------------------------------------------
+    tol: float = 1e-6           # relative duality-gap tolerance
+    tol_feas: float = 1e-6      # relative primal/dual infeasibility tolerance
+    max_iter: int = 64          # hard iteration cap (static: sizes the trace)
+
+    # --- Mehrotra algorithm constants (reference R8, R9) -------------------
+    alpha_damping: float = 0.9995   # fraction-to-boundary damping factor
+    adaptive_damping: bool = True   # eta = max(damping_floor, 1 - mu)
+    damping_floor: float = 0.995
+    sigma_power: float = 3.0        # sigma = (mu_aff / mu) ** sigma_power
+
+    # --- numerics on TPU (f32 world; SURVEY.md §7 hard part 1) -------------
+    dtype: str = "float32"      # compute dtype: "float32" | "float64" (CPU only)
+    reg: float = 1e-8           # relative Tikhonov regularization of A D^2 A^T
+    refine_steps: int = 3       # iterative-refinement sweeps per normal solve
+    kkt_refine_steps: int = 2   # full-KKT refinement sweeps per direction
+    matmul_precision: str = "highest"   # "highest" | "default"
+    pos_floor: float = 1e-30    # absolute floor keeping x, s > 0 in f32
+    mu_floor_rel: float = 1e-12 # stop (STALLED) once mu < mu_floor_rel * mu0
+    # Effective feasibility tolerance is max(tol_feas, feas_eps_mult*eps*sqrt(n)):
+    # an exactly feasible x ROUNDED to f32 already shows a residual of
+    # ~eps*sqrt(n)*|x|, so demanding less than the representation floor would
+    # spin forever.  Never binding in f64.
+    feas_eps_mult: float = 4.0
+
+    # --- linear-system backend ---------------------------------------------
+    linsys: str = "dense"       # "dense" (single/vmap) | "sharded" (row-block)
+    chol_backend: str = "xla"   # "xla" (jnp.linalg.cholesky) | "pallas"
+
+    # --- sharding ----------------------------------------------------------
+    batch_axis: str = "batch"
+    row_axis: str = "row"
+
+    def __post_init__(self):
+        if self.max_iter < 1:
+            raise ValueError(f"max_iter must be >= 1, got {self.max_iter}")
+        if not (self.tol > 0 and self.tol_feas > 0):
+            raise ValueError("tol and tol_feas must be positive")
+        if self.dtype not in ("float32", "float64", "bfloat16"):
+            raise ValueError(f"unsupported dtype {self.dtype!r}")
+        if self.refine_steps < 0 or self.kkt_refine_steps < 0:
+            raise ValueError("refinement step counts must be >= 0")
+
+    def replace(self, **kw) -> "SolverOptions":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_OPTIONS = SolverOptions()

@@ -1,0 +1,94 @@
+"""Tests for the jit-compiled JAX Mehrotra solver (single instance).
+
+The f32 path is the TPU configuration; the f64 path (CPU only) validates the
+algorithm free of rounding.  Oracles: constructed optimum, numpy reference
+solver, scipy HiGHS (SURVEY.md §4.2).
+"""
+import numpy as np
+import pytest
+from scipy.optimize import linprog
+
+import ipx
+from ipx.ipm import reference_numpy as ref
+from ipx.problem.generate import random_feasible_lp
+from ipx.status import Status
+
+
+def _solve(g, **opt_kw):
+    opts = ipx.SolverOptions(**opt_kw)
+    return ipx.solve(g.c, g.A, g.b, options=opts)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_f64_matches_constructed_optimum(seed):
+    g = random_feasible_lp(50, 100, seed=seed)
+    sol = _solve(g, dtype="float64", tol=1e-9, tol_feas=1e-9)
+    assert sol.status == int(Status.OPTIMAL)
+    rel = abs(sol.objective - g.obj_star) / (1 + abs(g.obj_star))
+    assert rel <= 1e-8
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_f32_reaches_1e6_gap(seed):
+    """The contract's accuracy bar: rel gap <= 1e-6 in the f32 TPU world."""
+    g = random_feasible_lp(50, 100, seed=seed)
+    sol = _solve(g, dtype="float32")
+    assert sol.status == int(Status.OPTIMAL), sol.iteration_table()
+    rel = abs(sol.objective - g.obj_star) / (1 + abs(g.obj_star))
+    assert rel <= 5e-6
+    assert sol.rel_gap <= 1e-6
+
+
+def test_f32_larger_instance():
+    g = random_feasible_lp(128, 256, seed=11)
+    sol = _solve(g, dtype="float32")
+    assert sol.status == int(Status.OPTIMAL), sol.iteration_table()
+    rel = abs(sol.objective - g.obj_star) / (1 + abs(g.obj_star))
+    assert rel <= 1e-5
+
+
+def test_matches_numpy_reference_objective():
+    g = random_feasible_lp(40, 90, seed=5)
+    npy = ref.solve(g.c, g.A, g.b)
+    jx = _solve(g, dtype="float32")
+    rel = abs(jx.objective - npy.objective) / (1 + abs(npy.objective))
+    assert rel <= 5e-6
+
+
+def test_matches_scipy_highs():
+    g = random_feasible_lp(30, 70, seed=9)
+    hi = linprog(g.c, A_eq=g.A, b_eq=g.b, method="highs")
+    jx = _solve(g, dtype="float32")
+    rel = abs(jx.objective - hi.fun) / (1 + abs(hi.fun))
+    assert rel <= 5e-6
+
+
+def test_iterate_stays_interior():
+    g = random_feasible_lp(30, 60, seed=2)
+    sol = _solve(g, dtype="float32")
+    assert np.all(sol.x > 0)
+    assert np.all(sol.s > 0)
+
+
+def test_trace_mu_decreases():
+    g = random_feasible_lp(30, 60, seed=4)
+    sol = _solve(g, dtype="float32")
+    mus = sol.trace[: sol.iterations, 0]
+    assert mus[-1] < 1e-6 * mus[0] + 1e-12
+
+
+def test_max_iter_status():
+    g = random_feasible_lp(30, 60, seed=6)
+    sol = _solve(g, dtype="float32", max_iter=2)
+    assert sol.status == int(Status.MAX_ITER)
+    assert sol.iterations == 2
+
+
+def test_jit_cache_reuse_same_shapes():
+    """Two different instances of identical shape hit the same executable."""
+    g1 = random_feasible_lp(20, 40, seed=0)
+    g2 = random_feasible_lp(20, 40, seed=1)
+    s1 = _solve(g1, dtype="float32")
+    s2 = _solve(g2, dtype="float32")
+    assert s1.optimal and s2.optimal
+    assert abs(s1.objective - s2.objective) > 1e-8  # actually different LPs
