@@ -1,0 +1,135 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Metric (BASELINE.json:2): "IPM iterations/s/chip + batch LPs solved/s at
+n=2048, m=1024; rel gap <= 1e-6".  The headline number reported here is
+instance-iterations/s/chip: (batch size) x (batched Mehrotra iterations/s),
+measured as steady-state fixed-iteration throughput of the fully jitted
+vmap'd predictor-corrector step at the contract shapes m=1024, n=2048.
+
+``vs_baseline`` normalizes against the driver target's strong reading
+(BASELINE.md): 50 batched iters/s at batch 1024 = 51200 instance-iters/s per
+chip.  Secondary numbers (batched iters/s, solves/s, achieved rel gap on a
+correctness probe) ride along inside the same JSON object.
+
+Usage: python bench.py [--batch B] [--m M] [--n N] [--iters K] [--quick]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+TARGET_INSTANCE_ITERS_PER_S = 50.0 * 1024.0  # BASELINE.json:5 strong reading
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=0,
+                   help="batch size (0 = auto-pick for device memory)")
+    p.add_argument("--m", type=int, default=1024)
+    p.add_argument("--n", type=int, default=2048)
+    p.add_argument("--iters", type=int, default=8,
+                   help="timed batched iterations per measurement")
+    p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--quick", action="store_true",
+                   help="small shapes for smoke-testing the harness")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import ipx
+    from ipx.ipm import batched
+    from ipx.problem.generate import random_feasible_lp
+    from ipx.problem.lp import make_lp
+
+    if args.quick:
+        args.m, args.n = 64, 128
+        args.batch = args.batch or 4
+
+    dev = jax.devices()[0]
+    platform = dev.platform
+
+    if args.batch == 0:
+        # Working set per instance ~ A (m*n) + M,L (2*m^2) + vectors, f32.
+        per_inst = 4 * (args.m * args.n + 2 * args.m * args.m + 8 * args.n)
+        hbm = getattr(dev, "memory_stats", lambda: None)()
+        avail = (hbm or {}).get("bytes_limit", 8 << 30)
+        budget = int(0.5 * avail)
+        args.batch = max(1, min(256, budget // max(per_inst, 1)))
+        # keep a power of two for clean MXU batching
+        args.batch = 1 << (args.batch.bit_length() - 1)
+
+    m, n, B = args.m, args.n, args.batch
+    opts = ipx.SolverOptions(dtype="float32", max_iter=args.iters + 1)
+
+    # --- build batch (host) -------------------------------------------------
+    gs = [random_feasible_lp(m, n, seed=i) for i in range(min(B, 8))]
+    # Replicate beyond 8 distinct instances to keep host-side gen cheap; the
+    # device work is identical per instance regardless of data.
+    lps = [make_lp(gs[i % len(gs)].c, gs[i % len(gs)].A, gs[i % len(gs)].b)
+           for i in range(B)]
+    blp = batched.stack_lps(lps).astype(jnp.float32)
+
+    # --- steady-state iteration throughput ----------------------------------
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(2, 3))
+    def fixed(blp, st, k, opts):
+        return batched.run_batch_fixed_iters(blp, st, k, opts)
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def start(blp, opts):
+        return batched.batch_starting_state(blp, opts)
+
+    st0 = jax.block_until_ready(start(blp, opts))
+    # warm-up / compile
+    jax.block_until_ready(fixed(blp, st0, args.iters, opts))
+    times = []
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fixed(blp, st0, args.iters, opts))
+        times.append(time.perf_counter() - t0)
+    t_iter = min(times) / args.iters
+    batched_iters_per_s = 1.0 / t_iter
+    instance_iters_per_s = B * batched_iters_per_s
+
+    # --- correctness probe: full convergent solve on a sub-batch -----------
+    probe_B = min(B, 8)
+    probe = batched.stack_lps(lps[:probe_B]).astype(jnp.float32)
+    sols = ipx.solve_batch(probe, options=ipx.SolverOptions(dtype="float32"))
+    gaps = [s.rel_gap for s in sols]
+    n_opt = sum(s.optimal for s in sols)
+    iters = [s.iterations for s in sols]
+    # solves/s estimate: median iteration count at measured iteration rate
+    med_it = float(np.median(iters)) if iters else float("nan")
+    solves_per_s = batched_iters_per_s * B / med_it if med_it else 0.0
+
+    flops_per_batched_iter = B * (2 * 2 * m * m * n + m ** 3 / 3)
+
+    out = {
+        "metric": "instance_ipm_iters_per_s_per_chip",
+        "value": round(instance_iters_per_s, 2),
+        "unit": f"instance-iters/s (batch={B}, m={m}, n={n}, f32)",
+        "vs_baseline": round(instance_iters_per_s / TARGET_INSTANCE_ITERS_PER_S, 4),
+        "detail": {
+            "platform": platform,
+            "batched_iters_per_s": round(batched_iters_per_s, 3),
+            "sec_per_batched_iter": round(t_iter, 5),
+            "batch": B, "m": m, "n": n,
+            "est_lps_solved_per_s": round(solves_per_s, 2),
+            "probe_optimal": f"{n_opt}/{probe_B}",
+            "probe_max_rel_gap": float(np.max(gaps)) if gaps else None,
+            "probe_median_iters": med_it,
+            "est_tflops": round(flops_per_batched_iter / t_iter / 1e12, 2),
+        },
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -57,6 +57,12 @@ def _run_single(lp: LP, opts: SolverOptions) -> IPMState:
     return mehrotra.run_single(lp, opts)
 
 
+@partial(jax.jit, static_argnums=(1,))
+def _run_batch(lp: LP, opts: SolverOptions) -> IPMState:
+    from ipx.ipm import batched
+    return batched.run_batch(lp, opts)
+
+
 def _state_to_solution(lp: LP, st, obj_offset: float = 0.0) -> Solution:
     # Report the best-merit iterate visited (equals the final iterate on a
     # clean OPTIMAL exit; shields MAX_ITER/STALLED/FAILED exits from late
@@ -101,3 +107,33 @@ def solve(c, A=None, b=None, options: Optional[SolverOptions] = None) -> Solutio
     lp = lp.astype(dtype_of(opts.dtype))
     st = _run_single(lp, opts)
     return _state_to_solution(lp, st)
+
+
+def solve_batch(lps, options: Optional[SolverOptions] = None) -> list:
+    """Solve a batch of same-shape LPs in one device program.
+
+    ``lps`` is a sequence of :class:`LP` (or an already-stacked batched LP
+    with leading batch dim).  Returns a list of :class:`Solution`, one per
+    instance, in input order.  This is the TPU-native replacement for the
+    reference's one-at-a-time Python loop (SURVEY.md component N12,
+    BASELINE.json config 3).
+    """
+    from ipx.ipm import batched
+
+    opts = options or DEFAULT_OPTIONS
+    if isinstance(lps, LP):
+        blp = lps
+        if blp.A.ndim != 3:
+            raise ValueError("batched LP must have A of rank 3 (B, m, n)")
+    else:
+        blp = batched.stack_lps(list(lps))
+    blp = blp.astype(dtype_of(opts.dtype))
+    st = _run_batch(blp, opts)
+
+    batch = blp.A.shape[0]
+    sols = []
+    for i in range(batch):
+        lp_i = jax.tree_util.tree_map(lambda leaf: leaf[i], blp)
+        st_i = jax.tree_util.tree_map(lambda leaf: leaf[i], st)
+        sols.append(_state_to_solution(lp_i, st_i))
+    return sols

@@ -1,0 +1,83 @@
+"""Batch-of-LPs parallelism (SURVEY.md component N12; BASELINE.json config 3).
+
+The reference solves one LP at a time in a Python loop (SURVEY.md §3.1).  The
+TPU-native design instead vmaps the whole Mehrotra step over a leading batch
+axis and runs ONE ``lax.while_loop`` for the entire batch: every instance
+advances in lock-step, instances that have converged/failed are frozen by
+``step_masked``'s state-select, and the loop exits when no instance is still
+RUNNING.  This turns B independent m x m Cholesky factorizations and
+(m, n) x (n, m) assemblies into single batched XLA ops that tile cleanly onto
+the MXU — the whole point of batching on TPU.
+
+Data layout: a "batched LP" is an :class:`ipx.problem.lp.LP` whose leaves
+carry a leading batch dimension (c: (B, n), A: (B, m, n), b: (B, m)).  All
+instances in a batch share (m, n) — heterogeneous sizes are handled by the
+problem layer's padding/bucketing, not here.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ipx.options import SolverOptions
+from ipx.problem.lp import LP
+from ipx.ipm import mehrotra
+from ipx.ipm.state import IPMState, init_state
+from ipx.status import Status
+
+
+def stack_lps(lps) -> LP:
+    """Stack a sequence of same-shape LPs into one batched LP pytree."""
+    if not lps:
+        raise ValueError("empty LP batch")
+    shapes = {(lp.m, lp.n) for lp in lps}
+    if len(shapes) != 1:
+        raise ValueError(f"batch mixes LP shapes: {sorted(shapes)}")
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *lps)
+
+
+def batch_starting_state(lp: LP, opts: SolverOptions) -> IPMState:
+    """vmap'd Mehrotra starting point -> batched initial IPMState."""
+
+    def start(lp_i: LP) -> IPMState:
+        x0, y0, s0, _ = mehrotra.starting_point(lp_i, opts)
+        mu0 = jnp.vdot(x0, s0) / lp_i.n
+        return init_state(x0, y0, s0, mu0, opts.max_iter)
+
+    return jax.vmap(start)(lp)
+
+
+def run_batch(lp: LP, opts: SolverOptions) -> IPMState:
+    """Solve a batch of LPs in one jitted while_loop.  Jit-compatible.
+
+    The loop condition is ``any(instance still RUNNING)`` — converged
+    instances are frozen (their state no longer changes) but still ride along
+    until the slowest instance finishes (SURVEY.md §7 hard part 5; tail
+    latency is a bucketing concern for the problem layer).
+    """
+    state0 = batch_starting_state(lp, opts)
+    step = jax.vmap(lambda lp_i, st: mehrotra.step_masked(lp_i, st, opts))
+
+    def cond(st: IPMState):
+        running = st.status == jnp.int32(Status.RUNNING)
+        return jnp.any(running & (st.it < opts.max_iter))
+
+    def body(st: IPMState):
+        return step(lp, st)
+
+    final = lax.while_loop(cond, body, state0)
+    return jax.vmap(lambda st: mehrotra.finalize_status(st, opts))(final)
+
+
+def run_batch_fixed_iters(lp: LP, state: IPMState, num_iters: int,
+                          opts: SolverOptions) -> IPMState:
+    """Advance the whole batch exactly ``num_iters`` steps (no masking).
+
+    Benchmark harness path: a ``fori_loop`` of un-masked vmap'd steps
+    measures the steady-state cost of one batched Mehrotra iteration —
+    assembly + factorization + 2 solves + reductions — without convergence
+    control flow.  Used by bench.py for the iterations/s/chip metric.
+    """
+    step = jax.vmap(lambda lp_i, st: mehrotra.mehrotra_step(lp_i, st, opts))
+    return lax.fori_loop(0, num_iters, lambda _, st: step(lp, st), state)

@@ -35,26 +35,24 @@ class NormalEqFactor:
     the factored matrix has unit diagonal — the decisive f32 robustness trick:
     cholesky stays stable far deeper into the ill-conditioned endgame, and
     ``reg`` is meaningfully relative to 1.
+
+    With the Pallas backend, ``L`` is the 128-padded factor (identity
+    extension) and ``W`` holds the inverted 128x128 diagonal blocks that turn
+    the triangular solves into MXU matmuls (ipx/kernels/cholesky.py); with
+    the XLA backend ``W`` is an empty placeholder and solves go through
+    ``jax.scipy.linalg.solve_triangular``.
     """
-    L: jax.Array        # (m, m) lower-triangular Cholesky factor of J M J
+    L: jax.Array        # (m or m_pad, same) lower-triangular Cholesky factor
     j: jax.Array        # (m,) Jacobi scale 1/sqrt(diag M)
     d2: jax.Array       # (n,)
     ok: jax.Array       # () bool: factorization succeeded (finite, pos diag)
+    W: jax.Array        # pallas: (m_pad/128, 128, 128) diag-block inverses
 
 
 def assemble(A: jax.Array, d2: jax.Array, precision: str = "highest"):
     """M = (A * d2) @ A.T, symmetrized.  One fused einsum on the MXU."""
     M = mm(A * d2[None, :], A.T, precision)
     return 0.5 * (M + M.T)
-
-
-def _cholesky(M: jax.Array, backend: str):
-    if backend == "pallas":
-        # Imported lazily: the Pallas kernel module needs a TPU (or interpret
-        # mode); the XLA path must stay importable everywhere.
-        from ipx.kernels.cholesky import cholesky as pallas_cholesky
-        return pallas_cholesky(M)
-    return jnp.linalg.cholesky(M)
 
 
 def factor(A: jax.Array, d2: jax.Array, opts: SolverOptions) -> NormalEqFactor:
@@ -72,16 +70,43 @@ def factor(A: jax.Array, d2: jax.Array, opts: SolverOptions) -> NormalEqFactor:
     Ms = M * j[:, None] * j[None, :]
     reg = jnp.asarray(opts.reg, M.dtype)
     Ms = Ms + reg * jnp.eye(m, dtype=M.dtype)
-    L = _cholesky(Ms, opts.chol_backend)
-    ldiag = jnp.diagonal(L)
+
+    if opts.chol_backend == "pallas":
+        # Imported lazily: the XLA path must stay importable everywhere.
+        from ipx.kernels import cholesky as pk
+        # Pad to a multiple of the 128 MXU tile with an identity extension:
+        # blkdiag(Ms, I) factors to blkdiag(L, I), and zero-padded rhs
+        # round-trips exactly, so padding is invisible to the solve.
+        m_pad = -(-m // pk.NB) * pk.NB
+        if m_pad != m:
+            Mp = jnp.zeros((m_pad, m_pad), Ms.dtype)
+            Mp = Mp.at[:m, :m].set(Ms)
+            Mp = Mp.at[jnp.arange(m, m_pad), jnp.arange(m, m_pad)].set(1.0)
+        else:
+            Mp = Ms
+        L, W = pk.cholesky_batched(Mp[None].astype(jnp.float32))
+        L, W = L[0], W[0]
+        ldiag = jnp.diagonal(L)
+    else:
+        L = jnp.linalg.cholesky(Ms)
+        W = jnp.zeros((0,), Ms.dtype)
+        ldiag = jnp.diagonal(L)
+
     ok = (jnp.all(jnp.isfinite(ldiag)) & jnp.all(ldiag > 0)
           & jnp.all(jnp.isfinite(j)))
-    return NormalEqFactor(L=L, j=j, d2=d2, ok=ok)
+    return NormalEqFactor(L=L, j=j, d2=d2, ok=ok, W=W)
 
 
-def _chol_solve(L: jax.Array, rhs: jax.Array) -> jax.Array:
-    t = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
-    return jax.scipy.linalg.solve_triangular(L.T, t, lower=False)
+def _chol_solve(fac: NormalEqFactor, rhs: jax.Array, backend: str) -> jax.Array:
+    if backend == "pallas":
+        from ipx.kernels import cholesky as pk
+        m = rhs.shape[-1]
+        m_pad = fac.L.shape[-1]
+        r = rhs if m_pad == m else jnp.zeros((m_pad,), rhs.dtype).at[:m].set(rhs)
+        y = pk.chol_solve_batched(fac.L[None], fac.W[None], r[None])[0]
+        return y[:m]
+    t = jax.scipy.linalg.solve_triangular(fac.L, rhs, lower=True)
+    return jax.scipy.linalg.solve_triangular(fac.L.T, t, lower=False)
 
 
 def solve(fac: NormalEqFactor, A: jax.Array, rhs: jax.Array,
@@ -98,7 +123,7 @@ def solve(fac: NormalEqFactor, A: jax.Array, rhs: jax.Array,
     """
     def precond_solve(r):
         # (J M J + reg I)^-1 in the original variables: y = J L^-T L^-1 J r
-        return fac.j * _chol_solve(fac.L, fac.j * r)
+        return fac.j * _chol_solve(fac, fac.j * r, opts.chol_backend)
 
     y = precond_solve(rhs)
     prec = opts.matmul_precision

@@ -1,0 +1,93 @@
+"""Unit tests for the Pallas batched Cholesky/TRSM kernels (SURVEY.md §4.2
+"Unit: kernels").  On CPU the kernels run in Pallas interpret mode — the same
+kernel code that compiles via Mosaic on TPU.
+
+Oracles: numpy.linalg.cholesky and scipy solves, f32 tolerances.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from ipx.kernels import cholesky as pk
+
+
+def _random_spd(rng, b, m, cond=100.0):
+    """Batch of SPD matrices with controlled conditioning."""
+    out = np.empty((b, m, m), np.float64)
+    for i in range(b):
+        Q, _ = np.linalg.qr(rng.standard_normal((m, m)))
+        eigs = np.geomspace(1.0, 1.0 / cond, m)
+        out[i] = (Q * eigs) @ Q.T
+    return out
+
+
+@pytest.mark.parametrize("b,m", [(1, 128), (3, 256), (2, 384)])
+def test_cholesky_matches_numpy(b, m):
+    rng = np.random.default_rng(0)
+    M = _random_spd(rng, b, m)
+    L, W = pk.cholesky_batched(jnp.asarray(M, jnp.float32))
+    L = np.asarray(L, np.float64)
+    for i in range(b):
+        ref = np.linalg.cholesky(M[i])
+        # reconstruction error is the meaningful f32 metric
+        rec = L[i] @ L[i].T
+        assert np.abs(rec - M[i]).max() <= 1e-4 * np.abs(M[i]).max()
+        np.testing.assert_allclose(L[i], ref, rtol=5e-3, atol=5e-4)
+        # strict upper triangle is exactly zero
+        assert np.all(np.triu(L[i], 1) == 0)
+
+
+def test_diag_block_inverses():
+    rng = np.random.default_rng(1)
+    m = 256
+    M = _random_spd(rng, 1, m)
+    L, W = pk.cholesky_batched(jnp.asarray(M, jnp.float32))
+    L = np.asarray(L, np.float64)
+    W = np.asarray(W, np.float64)
+    for k in range(m // pk.NB):
+        o = k * pk.NB
+        blk = L[0, o:o + pk.NB, o:o + pk.NB]
+        err = np.abs(W[0, k] @ blk - np.eye(pk.NB)).max()
+        assert err <= 5e-4
+
+
+@pytest.mark.parametrize("m", [128, 384])
+def test_chol_solve_batched(m):
+    rng = np.random.default_rng(2)
+    b = 2
+    M = _random_spd(rng, b, m, cond=50.0)
+    x_true = rng.standard_normal((b, m))
+    rhs = np.einsum("bij,bj->bi", M, x_true)
+    L, W = pk.cholesky_batched(jnp.asarray(M, jnp.float32))
+    x = np.asarray(
+        pk.chol_solve_batched(L, W, jnp.asarray(rhs, jnp.float32)),
+        np.float64)
+    rel = np.abs(x - x_true).max() / np.abs(x_true).max()
+    assert rel <= 5e-3   # single f32 solve, cond=50
+
+
+def test_solve_lower_vs_scipy():
+    from scipy.linalg import solve_triangular
+    rng = np.random.default_rng(3)
+    m = 256
+    M = _random_spd(rng, 1, m)
+    L, W = pk.cholesky_batched(jnp.asarray(M, jnp.float32))
+    b = rng.standard_normal((1, m))
+    y = np.asarray(pk.solve_triangular_batched(L, W, jnp.asarray(b, jnp.float32),
+                                               lower=True), np.float64)
+    ref = solve_triangular(np.asarray(L[0], np.float64), b[0], lower=True)
+    np.testing.assert_allclose(y[0], ref, rtol=1e-3, atol=1e-4)
+
+
+def test_cholesky_single_wrapper():
+    rng = np.random.default_rng(4)
+    M = _random_spd(rng, 1, 128)[0]
+    L = np.asarray(pk.cholesky(jnp.asarray(M, jnp.float32)), np.float64)
+    rec = L @ L.T
+    assert np.abs(rec - M).max() <= 1e-4 * np.abs(M).max()
+
+
+def test_rejects_non_multiple_of_128():
+    with pytest.raises(AssertionError):
+        pk.cholesky_batched(jnp.eye(100)[None])
