@@ -77,21 +77,21 @@ def main() -> int:
     # --- steady-state iteration throughput ----------------------------------
     import functools
 
-    @functools.partial(jax.jit, static_argnums=(2, 3))
-    def fixed(blp, st, k, opts):
-        return batched.run_batch_fixed_iters(blp, st, k, opts)
+    @functools.partial(jax.jit, static_argnums=(3, 4))
+    def fixed(blp, st, fac, k, opts):
+        return batched.run_batch_fixed_iters(blp, st, k, opts, fac)
 
     @functools.partial(jax.jit, static_argnums=(1,))
     def start(blp, opts):
         return batched.batch_starting_state(blp, opts)
 
-    st0 = jax.block_until_ready(start(blp, opts))
+    st0, fac_aat = jax.block_until_ready(start(blp, opts))
     # warm-up / compile
-    jax.block_until_ready(fixed(blp, st0, args.iters, opts))
+    jax.block_until_ready(fixed(blp, st0, fac_aat, args.iters, opts))
     times = []
     for _ in range(args.repeats):
         t0 = time.perf_counter()
-        jax.block_until_ready(fixed(blp, st0, args.iters, opts))
+        jax.block_until_ready(fixed(blp, st0, fac_aat, args.iters, opts))
         times.append(time.perf_counter() - t0)
     t_iter = min(times) / args.iters
     batched_iters_per_s = 1.0 / t_iter

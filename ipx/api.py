@@ -109,6 +109,75 @@ def solve(c, A=None, b=None, options: Optional[SolverOptions] = None) -> Solutio
     return _state_to_solution(lp, st)
 
 
+def solve_general(glp, options: Optional[SolverOptions] = None) -> Solution:
+    """Solve a :class:`GeneralLP` (inequalities + bounds) end to end.
+
+    Host pipeline (SURVEY.md §3.4): standard-form conversion -> presolve +
+    Ruiz equilibration -> device IPM solve on the scaled reduced problem ->
+    postsolve back to original variables/units.  This is the path BASELINE
+    config 2 (Netlib-style suite) exercises.
+    """
+    from ipx.problem.lp import GeneralLP, to_standard_form
+    from ipx.problem.presolve import presolve
+    from ipx.status import Status as St
+
+    opts = options or DEFAULT_OPTIONS
+    if not isinstance(glp, GeneralLP):
+        raise TypeError(f"solve_general expects GeneralLP, got {type(glp)}")
+
+    c_s, A_s, b_s, _, post = to_standard_form(glp)
+    pres = presolve(c_s, A_s, b_s)
+
+    def _empty_solution(status: int) -> Solution:
+        z = np.zeros(post.n_std)
+        z[pres.fixed_mask] = pres.fixed_vals[pres.fixed_mask]
+        x = post.x_orig(z)
+        obj = float(np.asarray(glp.c) @ x)
+        return Solution(
+            x=x, y=np.zeros(glp.A_eq.shape[0] + glp.A_ub.shape[0]),
+            s=np.zeros(glp.n), objective=obj, dual_objective=obj,
+            status=status, iterations=0, rel_gap=np.inf, rp_rel=np.inf,
+            rd_rel=np.inf, trace=np.zeros((0, 8)))
+
+    if pres.status == "infeasible":
+        return _empty_solution(int(St.PRIMAL_INFEASIBLE))
+    if pres.status == "unbounded":
+        return _empty_solution(int(St.DUAL_INFEASIBLE))
+
+    if pres.A.size == 0 or pres.A.shape[0] == 0:
+        # fully presolved: all variables fixed
+        sol = _empty_solution(int(St.OPTIMAL))
+        sol.rel_gap = 0.0
+        sol.rp_rel = 0.0
+        sol.rd_rel = 0.0
+        return sol
+
+    lp = make_lp(pres.c, pres.A, pres.b).astype(dtype_of(opts.dtype))
+    st = _run_single(lp, opts)
+    red = _state_to_solution(lp, st)
+
+    # postsolve: scaled-reduced z -> std-form z -> original x
+    z = np.zeros(post.n_std)
+    z[pres.fixed_mask] = pres.fixed_vals[pres.fixed_mask]
+    z[pres.kept_cols] = pres.col_scale * red.x
+    x = post.x_orig(z)
+    obj = float(np.asarray(glp.c) @ x)
+    if getattr(glp, "maximize", False):
+        obj = -obj
+    return Solution(
+        x=x, y=pres.postsolve_y(red.y), s=red.s,
+        objective=obj, dual_objective=red.dual_objective,
+        status=red.status, iterations=red.iterations,
+        rel_gap=red.rel_gap, rp_rel=red.rp_rel, rd_rel=red.rd_rel,
+        trace=red.trace)
+
+
+def solve_mps(path: str, options: Optional[SolverOptions] = None) -> Solution:
+    """Read an MPS file and solve it (SURVEY.md §3.4 Netlib/MPS path)."""
+    from ipx.problem.mps import read_mps
+    return solve_general(read_mps(path), options)
+
+
 def solve_batch(lps, options: Optional[SolverOptions] = None) -> list:
     """Solve a batch of same-shape LPs in one device program.
 

@@ -37,13 +37,15 @@ def stack_lps(lps) -> LP:
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *lps)
 
 
-def batch_starting_state(lp: LP, opts: SolverOptions) -> IPMState:
-    """vmap'd Mehrotra starting point -> batched initial IPMState."""
+def batch_starting_state(lp: LP, opts: SolverOptions):
+    """vmap'd Mehrotra starting point -> (batched IPMState, batched AA^T
+    factor).  The factor is loop-invariant and reused every iteration for
+    the feasibility projection (see mehrotra.kkt_solve)."""
 
-    def start(lp_i: LP) -> IPMState:
-        x0, y0, s0, _ = mehrotra.starting_point(lp_i, opts)
+    def start(lp_i: LP):
+        x0, y0, s0, fac = mehrotra.starting_point(lp_i, opts)
         mu0 = jnp.vdot(x0, s0) / lp_i.n
-        return init_state(x0, y0, s0, mu0, opts.max_iter)
+        return init_state(x0, y0, s0, mu0, opts.max_iter), fac
 
     return jax.vmap(start)(lp)
 
@@ -56,22 +58,23 @@ def run_batch(lp: LP, opts: SolverOptions) -> IPMState:
     until the slowest instance finishes (SURVEY.md §7 hard part 5; tail
     latency is a bucketing concern for the problem layer).
     """
-    state0 = batch_starting_state(lp, opts)
-    step = jax.vmap(lambda lp_i, st: mehrotra.step_masked(lp_i, st, opts))
+    state0, fac_aat = batch_starting_state(lp, opts)
+    step = jax.vmap(
+        lambda lp_i, st, f: mehrotra.step_masked(lp_i, st, opts, f))
 
     def cond(st: IPMState):
         running = st.status == jnp.int32(Status.RUNNING)
         return jnp.any(running & (st.it < opts.max_iter))
 
     def body(st: IPMState):
-        return step(lp, st)
+        return step(lp, st, fac_aat)
 
     final = lax.while_loop(cond, body, state0)
     return jax.vmap(lambda st: mehrotra.finalize_status(st, opts))(final)
 
 
 def run_batch_fixed_iters(lp: LP, state: IPMState, num_iters: int,
-                          opts: SolverOptions) -> IPMState:
+                          opts: SolverOptions, fac_aat=None) -> IPMState:
     """Advance the whole batch exactly ``num_iters`` steps (no masking).
 
     Benchmark harness path: a ``fori_loop`` of un-masked vmap'd steps
@@ -79,5 +82,11 @@ def run_batch_fixed_iters(lp: LP, state: IPMState, num_iters: int,
     assembly + factorization + 2 solves + reductions — without convergence
     control flow.  Used by bench.py for the iterations/s/chip metric.
     """
-    step = jax.vmap(lambda lp_i, st: mehrotra.mehrotra_step(lp_i, st, opts))
-    return lax.fori_loop(0, num_iters, lambda _, st: step(lp, st), state)
+    if fac_aat is None:
+        step = jax.vmap(
+            lambda lp_i, st: mehrotra.mehrotra_step(lp_i, st, opts))
+        return lax.fori_loop(0, num_iters, lambda _, st: step(lp, st), state)
+    step = jax.vmap(
+        lambda lp_i, st, f: mehrotra.mehrotra_step(lp_i, st, opts, f))
+    return lax.fori_loop(0, num_iters,
+                         lambda _, st: step(lp, st, fac_aat), state)

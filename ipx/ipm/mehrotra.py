@@ -113,8 +113,13 @@ def mehrotra_step(lp: LP, state: IPMState, opts: SolverOptions,
     mu_safe = jnp.maximum(mu, jnp.asarray(1e-30, dtype))
 
     # --- factor A D^2 A^T once, reuse for both solves (R5, R6) -------------
+    # d2 is deliberately NOT range-clipped: huge x/s entries (effectively
+    # fixed duals) are tamed by the Jacobi scaling inside factor(), and
+    # clipping them makes those dual directions spuriously mobile, stalling
+    # the ratio test.  f32 PSD loss near convergence is handled by the
+    # cross-iteration regularization escalation below (state.reg_boost).
     d2 = x / s
-    fac = normal_eq.factor(A, d2, opts)
+    fac = normal_eq.factor(A, d2, opts, reg_scale=state.reg_boost)
 
     def newton_direction(e_p, e_d, e_xs):
         """Solve the Newton system  A dx = -e_p;  A^T dy + ds = -e_d;
@@ -142,6 +147,16 @@ def mehrotra_step(lp: LP, state: IPMState, opts: SolverOptions,
             e_xs = r_xs + s * dx + x * ds
             ddx, ddy, dds = newton_direction(e_p, e_d, e_xs)
             dx, dy, ds = dx + ddx, dy + ddy, ds + dds
+        if fac_aat is not None and opts.project_feasibility:
+            # Project dx onto {A dx = -rp} with the loop-invariant AA^T
+            # factor: the normal-equations route's feasibility error is
+            # amplified by D^2 ~ 1/mu near convergence, but cond(AA^T) is
+            # mu-independent, so this pins the primal row at fixed f32
+            # accuracy for the whole run (the drift killer — SURVEY.md §7
+            # hard part 1).  The complementarity row moves by S*(proj delta),
+            # second-order small once e_p is small.
+            e_p = rp + mv(A, dx, prec)
+            dx = dx - mv(A.T, normal_eq.solve(fac_aat, A, e_p, opts), prec)
         return dx, dy, ds
 
     # --- predictor (R7) ------------------------------------------------------
@@ -166,6 +181,26 @@ def mehrotra_step(lp: LP, state: IPMState, opts: SolverOptions,
     alpha_p = jnp.minimum(one, eta * max_step(x, dx))
     alpha_d = jnp.minimum(one, eta * max_step(s, ds))
 
+    # Centrality backoff (N_{-inf} neighborhood): a full Mehrotra step can
+    # crash an individual product x_j s_j orders of magnitude below mu
+    # (decentering).  f64 shrugs it off; in f32 the resulting d2 = x/s spread
+    # breaks the normal-matrix factorization well before convergence.  Guard:
+    # scan alpha backoff factors 1, 1/2, 1/4, ... and take the largest whose
+    # post-step min(x_j s_j) >= gamma * mu — pure vectorized VPU work, no
+    # extra solves.  (SURVEY.md §7 hard part 1.)
+    if opts.backoff_candidates > 0:
+        K = opts.backoff_candidates
+        gamma = jnp.asarray(opts.neighborhood_gamma, dtype)
+        scales = (0.5 ** jnp.arange(K)).astype(dtype)
+        xs_all = ((x[None, :] + scales[:, None] * alpha_p * dx[None, :])
+                  * (s[None, :] + scales[:, None] * alpha_d * ds[None, :]))
+        mu_all = jnp.sum(xs_all, axis=1) / n
+        ok = jnp.min(xs_all, axis=1) >= gamma * mu_all
+        idx = jnp.where(jnp.any(ok), jnp.argmax(ok), K - 1)
+        backoff = scales[idx]
+        alpha_p = alpha_p * backoff
+        alpha_d = alpha_d * backoff
+
     floor = jnp.asarray(opts.pos_floor, dtype)
     x_new = jnp.maximum(x + alpha_p * dx, floor)
     y_new = y + alpha_d * dy
@@ -185,10 +220,21 @@ def mehrotra_step(lp: LP, state: IPMState, opts: SolverOptions,
     # mu floor: below this, f32 conditioning degrades instead of improving
     # (death-spiral guard).  Report STALLED; the best iterate is returned.
     stalled = mu_n < jnp.asarray(opts.mu_floor_rel, dtype) * state.mu0
+    # Non-finite step (f32 PSD loss in the endgame): instead of aborting,
+    # keep the previous iterate, escalate the Tikhonov regularization, and
+    # keep RUNNING — the next factor uses reg * reg_boost.  Only when the
+    # boost is exhausted does the instance report NUMERICAL_FAILURE.
+    # (Select-based, so it is vmap-safe and costs nothing when healthy.)
+    boost_cap = jnp.asarray(opts.reg_boost_cap, dtype)
+    exhausted = ~finite & (state.reg_boost >= boost_cap)
+    reg_boost = jnp.where(
+        finite, state.reg_boost,
+        jnp.minimum(state.reg_boost * jnp.asarray(opts.reg_boost_step, dtype),
+                    boost_cap))
     status = jnp.where(
-        ~finite, jnp.int32(Status.NUMERICAL_FAILURE),
-        jnp.where(converged, jnp.int32(Status.OPTIMAL),
-                  jnp.where(stalled, jnp.int32(Status.STALLED),
+        exhausted, jnp.int32(Status.NUMERICAL_FAILURE),
+        jnp.where(finite & converged, jnp.int32(Status.OPTIMAL),
+                  jnp.where(finite & stalled, jnp.int32(Status.STALLED),
                             jnp.int32(Status.RUNNING))))
 
     # On numerical failure keep the last good iterate.
@@ -221,6 +267,7 @@ def mehrotra_step(lp: LP, state: IPMState, opts: SolverOptions,
         rd_rel=jnp.where(keep, rd_rel, state.rd_rel),
         rel_gap=jnp.where(keep, rel_gap, state.rel_gap),
         best_x=best_x, best_y=best_y, best_s=best_s, best_merit=best_merit,
+        reg_boost=reg_boost,
         trace=trace,
     )
 

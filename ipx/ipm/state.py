@@ -35,6 +35,8 @@ class IPMState:
     best_y: jax.Array
     best_s: jax.Array
     best_merit: jax.Array   # () max(rel_gap, rp_rel, rd_rel) at best iterate
+    reg_boost: jax.Array    # () regularization escalation factor (>= 1);
+                            # raised after a non-finite step, see mehrotra.py
     trace: jax.Array        # (max_iter, TRACE_COLS)
 
 
@@ -48,5 +50,6 @@ def init_state(x, y, s, mu0, max_iter: int) -> IPMState:
         mu=inf, mu0=jnp.asarray(mu0, dtype),
         rp_rel=inf, rd_rel=inf, rel_gap=inf,
         best_x=x, best_y=y, best_s=s, best_merit=inf,
+        reg_boost=jnp.ones((), dtype),
         trace=jnp.zeros((max_iter, TRACE_COLS), dtype),
     )

@@ -55,12 +55,15 @@ def assemble(A: jax.Array, d2: jax.Array, precision: str = "highest"):
     return 0.5 * (M + M.T)
 
 
-def factor(A: jax.Array, d2: jax.Array, opts: SolverOptions) -> NormalEqFactor:
+def factor(A: jax.Array, d2: jax.Array, opts: SolverOptions,
+           reg_scale=1.0) -> NormalEqFactor:
     """Assemble, Jacobi-scale, and factor the regularized normal matrix.
 
     The Tikhonov term is added AFTER scaling (unit diagonal), so ``opts.reg``
     is a clean relative perturbation that iterative refinement — whose
     residual uses the true unscaled, unregularized operator — then removes.
+    ``reg_scale`` is the iteration-level escalation factor (IPMState.reg_boost)
+    raised after a non-finite step.
     """
     M = assemble(A, d2, opts.matmul_precision)
     m = M.shape[-1]
@@ -68,7 +71,7 @@ def factor(A: jax.Array, d2: jax.Array, opts: SolverOptions) -> NormalEqFactor:
     tiny = jnp.asarray(jnp.finfo(M.dtype).tiny, M.dtype)
     j = jax.lax.rsqrt(jnp.maximum(diag, tiny))
     Ms = M * j[:, None] * j[None, :]
-    reg = jnp.asarray(opts.reg, M.dtype)
+    reg = jnp.asarray(opts.reg, M.dtype) * jnp.asarray(reg_scale, M.dtype)
     Ms = Ms + reg * jnp.eye(m, dtype=M.dtype)
 
     if opts.chol_backend == "pallas":
@@ -111,23 +114,52 @@ def _chol_solve(fac: NormalEqFactor, rhs: jax.Array, backend: str) -> jax.Array:
 
 def solve(fac: NormalEqFactor, A: jax.Array, rhs: jax.Array,
           opts: SolverOptions) -> jax.Array:
-    """Solve (A D^2 A^T) dy = rhs via the regularized factor + refinement.
+    """Solve (A D^2 A^T) dy = rhs: preconditioned CG on the TRUE operator.
 
-    The refinement residual is formed matrix-free as
-    ``rhs - A @ (d2 * (A.T @ y))`` at HIGHEST precision against the
-    UNREGULARIZED operator: the factor's Tikhonov term is then a pure
-    preconditioner perturbation that refinement removes (contraction factor
-    ``|1 - lam/(lam+reg)| < 1`` per eigendirection), and the assembled-M
-    rounding is bypassed — together this is what buys f32 the digits needed
-    for a 1e-6 gap (SURVEY.md §7 hard part 1).
+    The Cholesky factor of the Jacobi-scaled, regularized matrix is the
+    preconditioner; the Krylov operator is applied matrix-free as
+    ``A @ (d2 * (A.T @ v))`` at HIGHEST precision, bypassing both the
+    Tikhonov perturbation and the assembled-M rounding.  PCG (rather than
+    stationary refinement) is what survives the f32 endgame: near-singular
+    directions where reg/(lam+reg) ~ 1 stall a Richardson iteration but cost
+    CG only ~sqrt(1 + reg/lam_min) iterations (SURVEY.md §7 hard part 1;
+    PAPERS.md hybrid direct-iterative background).  ``opts.refine_steps``
+    is the CG iteration count — a static trip count, so the loop unrolls
+    into one fused XLA region with no convergence control flow.
     """
-    def precond_solve(r):
-        # (J M J + reg I)^-1 in the original variables: y = J L^-T L^-1 J r
+    prec = opts.matmul_precision
+    dt = rhs.dtype
+    tiny = jnp.asarray(jnp.finfo(dt).tiny, dt)
+
+    def op(v):
+        return mv(A, fac.d2 * mv(A.T, v, prec), prec)
+
+    def precond(r):
+        # (J M J + reg I)^-1 in the original variables: J L^-T L^-1 J r
         return fac.j * _chol_solve(fac, fac.j * r, opts.chol_backend)
 
-    y = precond_solve(rhs)
-    prec = opts.matmul_precision
+    y = precond(rhs)
+    if opts.refine_steps <= 0:
+        return y
+    r = rhs - op(y)
+    z = precond(r)
+    p = z
+    rz = jnp.vdot(r, z)
     for _ in range(opts.refine_steps):
-        r = rhs - mv(A, fac.d2 * mv(A.T, y, prec), prec)
-        y = y + precond_solve(r)
+        Ap = op(p)
+        pAp = jnp.vdot(p, Ap)
+        # Guards: pAp <= 0 only from rounding at exact convergence —
+        # freeze the iteration there instead of dividing by ~0.
+        ok = pAp > tiny
+        alpha = jnp.where(ok, rz / jnp.where(ok, pAp, jnp.ones((), dt)),
+                          jnp.zeros((), dt))
+        y = y + alpha * p
+        r = r - alpha * Ap
+        z = precond(r)
+        rz_new = jnp.vdot(r, z)
+        ok_b = jnp.abs(rz) > tiny
+        beta = jnp.where(ok_b, rz_new / jnp.where(ok_b, rz, jnp.ones((), dt)),
+                         jnp.zeros((), dt))
+        p = z + beta * p
+        rz = rz_new
     return y

@@ -33,11 +33,24 @@ class SolverOptions:
     # --- numerics on TPU (f32 world; SURVEY.md §7 hard part 1) -------------
     dtype: str = "float32"      # compute dtype: "float32" | "float64" (CPU only)
     reg: float = 1e-8           # relative Tikhonov regularization of A D^2 A^T
-    refine_steps: int = 3       # iterative-refinement sweeps per normal solve
+    refine_steps: int = 3       # PCG iterations per normal-equations solve
     kkt_refine_steps: int = 2   # full-KKT refinement sweeps per direction
     matmul_precision: str = "highest"   # "highest" | "default"
     pos_floor: float = 1e-30    # absolute floor keeping x, s > 0 in f32
     mu_floor_rel: float = 1e-12 # stop (STALLED) once mu < mu_floor_rel * mu0
+    # After a non-finite step the iteration keeps the previous iterate and
+    # multiplies the Tikhonov reg by reg_boost_step (capped at reg_boost_cap)
+    # before retrying — f32 endgame recovery (see mehrotra.py).
+    reg_boost_step: float = 1e3
+    reg_boost_cap: float = 1e9
+    # Project each search direction onto {A dx = -rp} via the loop-invariant
+    # AA^T factor — pins primal feasibility at mu-independent f32 accuracy.
+    project_feasibility: bool = True
+    # Centrality backoff: halve alpha up to backoff_candidates-1 times until
+    # min(x_j s_j) >= neighborhood_gamma * mu after the step (N_-inf
+    # neighborhood guard; keeps f32's d2 = x/s spread factorable).
+    backoff_candidates: int = 8
+    neighborhood_gamma: float = 1e-2
     # Effective feasibility tolerance is max(tol_feas, feas_eps_mult*eps*sqrt(n)):
     # an exactly feasible x ROUNDED to f32 already shows a residual of
     # ~eps*sqrt(n)*|x|, so demanding less than the representation floor would

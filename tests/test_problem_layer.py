@@ -1,0 +1,244 @@
+"""Tests for presolve, Ruiz equilibration, and the MPS reader (SURVEY.md
+components N2/N3; BASELINE config 2 machinery)."""
+import numpy as np
+import pytest
+from scipy.optimize import linprog
+
+import ipx
+from ipx.problem.presolve import presolve, ruiz_equilibrate
+from ipx.problem.mps import read_mps_string, MPSError
+
+
+# ---------------------------------------------------------------------------
+# Ruiz equilibration
+# ---------------------------------------------------------------------------
+
+def test_ruiz_unit_norms():
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((30, 50))
+    A *= 10.0 ** rng.uniform(-3, 3, size=(30, 1))
+    A *= 10.0 ** rng.uniform(-3, 3, size=(1, 50))
+    r, c = ruiz_equilibrate(A)
+    As = (A * r[:, None]) * c[None, :]
+    assert np.allclose(np.abs(As).max(axis=1), 1.0, atol=0.1)
+    assert np.allclose(np.abs(As).max(axis=0), 1.0, atol=0.1)
+
+
+# ---------------------------------------------------------------------------
+# presolve reductions
+# ---------------------------------------------------------------------------
+
+def test_presolve_drops_zero_row():
+    A = np.array([[1.0, 2.0], [0.0, 0.0]])
+    b = np.array([3.0, 0.0])
+    c = np.array([1.0, 1.0])
+    p = presolve(c, A, b)
+    assert p.status == "ok"
+    assert p.A.shape[0] == 1
+
+
+def test_presolve_zero_row_infeasible():
+    A = np.array([[1.0, 2.0], [0.0, 0.0]])
+    b = np.array([3.0, 1.0])
+    p = presolve(np.ones(2), A, b)
+    assert p.status == "infeasible"
+
+
+def test_presolve_zero_col_dropped():
+    A = np.array([[1.0, 0.0], [2.0, 0.0]])
+    b = np.array([1.0, 2.0])
+    c = np.array([1.0, 5.0])
+    p = presolve(c, A, b)
+    assert p.status == "ok"
+    assert p.fixed_mask[1]
+    assert p.fixed_vals[1] == 0.0
+
+
+def test_presolve_zero_col_unbounded():
+    A = np.array([[1.0, 0.0]])
+    b = np.array([1.0])
+    c = np.array([1.0, -1.0])   # free to increase x_1 forever
+    p = presolve(c, A, b)
+    assert p.status == "unbounded"
+
+
+def test_presolve_singleton_row():
+    # x0 = 2 fixed by a singleton row
+    A = np.array([[3.0, 0.0, 0.0], [1.0, 1.0, 1.0]])
+    b = np.array([6.0, 5.0])
+    c = np.array([1.0, 1.0, 1.0])
+    p = presolve(c, A, b)
+    assert p.status == "ok"
+    assert p.fixed_mask[0] and p.fixed_vals[0] == 2.0
+    assert p.obj_offset == 2.0
+    # remaining system: x1 + x2 = 3
+    np.testing.assert_allclose(p.b / p.row_scale, [3.0])
+
+
+def test_presolve_duplicate_rows():
+    A = np.array([[1.0, 2.0], [2.0, 4.0], [1.0, 0.0]])
+    b = np.array([3.0, 6.0, 1.0])
+    p = presolve(np.ones(2), A, b)
+    assert p.status == "ok"
+    # dup row dropped, then the singleton cascade fixes everything:
+    # x0 = 1 from row 3, then 2*x1 = 2 -> x1 = 1 -> fully presolved.
+    assert p.A.shape[0] == 0
+    np.testing.assert_allclose(p.fixed_vals, [1.0, 1.0])
+
+
+def test_presolve_duplicate_rows_inconsistent():
+    A = np.array([[1.0, 2.0], [2.0, 4.0]])
+    b = np.array([3.0, 7.0])
+    p = presolve(np.ones(2), A, b)
+    assert p.status == "infeasible"
+
+
+def test_presolve_postsolve_roundtrip():
+    """Solve scaled-reduced problem with HiGHS, postsolve, check against
+    direct HiGHS solve of the original."""
+    rng = np.random.default_rng(1)
+    m, n = 10, 25
+    A = np.vstack([rng.standard_normal((m, n)),
+                   np.zeros((1, n))])                      # + zero row
+    A = np.hstack([A, np.zeros((m + 1, 1))])               # + zero col
+    x_feas = np.abs(rng.standard_normal(n + 1)); x_feas[-1] = 0
+    b = A @ x_feas
+    c = np.abs(rng.standard_normal(n + 1)) + 0.1
+    p = presolve(c, A, b)
+    assert p.status == "ok"
+    r = linprog(p.c, A_eq=p.A, b_eq=p.b, method="highs")
+    assert r.status == 0
+    x = p.postsolve_x(r.x)
+    direct = linprog(c, A_eq=A, b_eq=b, method="highs")
+    assert abs((c @ x + p.obj_offset * 0) - direct.fun) <= 1e-7 * (1 + abs(direct.fun))
+    # primal feasibility of postsolved point in original units
+    assert np.abs(A @ x - b).max() <= 1e-7 * (1 + np.abs(b).max())
+
+
+# ---------------------------------------------------------------------------
+# MPS reader
+# ---------------------------------------------------------------------------
+
+SIMPLE_MPS = """\
+NAME          TESTLP
+ROWS
+ N  COST
+ L  LIM1
+ G  LIM2
+ E  EQ1
+COLUMNS
+    X1  COST  1.0  LIM1  1.0
+    X1  LIM2  1.0
+    X2  COST  2.0  LIM1  1.0
+    X2  EQ1   1.0
+    X3  COST  -1.0  LIM2  1.0
+    X3  EQ1   1.0
+RHS
+    RHS  LIM1  4.0  LIM2  1.0
+    RHS  EQ1   7.0
+BOUNDS
+ UP BND  X1  4.0
+ LO BND  X2  -1.0
+ENDATA
+"""
+
+
+def test_mps_parse_simple():
+    glp = read_mps_string(SIMPLE_MPS)
+    assert glp.name == "TESTLP"
+    assert glp.n == 3
+    np.testing.assert_allclose(glp.c, [1.0, 2.0, -1.0])
+    assert glp.A_eq.shape == (1, 3)
+    assert glp.A_ub.shape == (2, 3)    # L row + negated G row
+    np.testing.assert_allclose(glp.lb, [0.0, -1.0, 0.0])
+    np.testing.assert_allclose(glp.ub, [4.0, np.inf, np.inf])
+
+
+def test_mps_solve_matches_highs():
+    glp = read_mps_string(SIMPLE_MPS)
+    ref = linprog(glp.c, A_ub=glp.A_ub, b_ub=glp.b_ub,
+                  A_eq=glp.A_eq, b_eq=glp.b_eq,
+                  bounds=list(zip(glp.lb, glp.ub)), method="highs")
+    assert ref.status == 0
+    sol = ipx.solve_general(glp, ipx.SolverOptions(dtype="float64"))
+    assert sol.optimal
+    assert abs(sol.objective - ref.fun) <= 1e-6 * (1 + abs(ref.fun))
+
+
+def test_mps_ranges():
+    txt = """\
+NAME R
+ROWS
+ N obj
+ L r1
+COLUMNS
+    x obj 1.0 r1 1.0
+RHS
+    rhs r1 10.0
+RANGES
+    rng r1 4.0
+ENDATA
+"""
+    glp = read_mps_string(txt)
+    # L row with range 4 becomes 6 <= x <= 10
+    assert glp.A_ub.shape == (2, 1)
+    ref = linprog(glp.c, A_ub=glp.A_ub, b_ub=glp.b_ub, method="highs")
+    sol = ipx.solve_general(glp, ipx.SolverOptions(dtype="float64"))
+    assert sol.optimal
+    assert abs(sol.objective - ref.fun) <= 1e-7
+    assert abs(sol.objective - 6.0) <= 1e-6
+
+
+def test_mps_free_and_mi_bounds():
+    txt = """\
+NAME F
+ROWS
+ N obj
+ G g1
+COLUMNS
+    x obj 1.0 g1 1.0
+    y obj 1.0 g1 1.0
+BOUNDS
+ FR bnd x
+ LO bnd y 2.0
+RHS
+    rhs g1 1.0
+ENDATA
+"""
+    glp = read_mps_string(txt)
+    assert glp.lb[0] == -np.inf and glp.ub[0] == np.inf
+    assert glp.lb[1] == 2.0
+
+
+def test_mps_rejects_integers():
+    txt = """\
+NAME I
+ROWS
+ N obj
+COLUMNS
+    M1 'MARKER' 'INTORG'
+    x obj 1.0
+ENDATA
+"""
+    with pytest.raises(MPSError):
+        read_mps_string(txt)
+
+
+def test_mps_maximize():
+    txt = """\
+NAME M
+OBJSENSE
+    MAX
+ROWS
+ N obj
+ L l1
+COLUMNS
+    x obj 3.0 l1 1.0
+RHS
+    rhs l1 5.0
+ENDATA
+"""
+    glp = read_mps_string(txt)
+    sol = ipx.solve_general(glp, ipx.SolverOptions(dtype="float64"))
+    assert sol.optimal
+    assert abs(sol.objective - 15.0) <= 1e-5
