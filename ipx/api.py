@@ -178,6 +178,45 @@ def solve_mps(path: str, options: Optional[SolverOptions] = None) -> Solution:
     return solve_general(read_mps(path), options)
 
 
+def solve_large(c, A=None, b=None, mesh=None,
+                options: Optional[SolverOptions] = None) -> Solution:
+    """Solve one LARGE standard-form LP with row-block sharded normal
+    equations (BASELINE config 4: m=32k, n=64k scale).
+
+    A's columns are sharded over the mesh's "row" axis; the normal matrix is
+    assembled as distributed row panels (psum_scatter over ICI) and solved
+    by block-Jacobi-preconditioned CG — M never exists on one chip.  See
+    ipx/linsys/schur.py.
+    """
+    from ipx import mesh as meshlib
+    from ipx.linsys import schur
+
+    opts = (options or DEFAULT_OPTIONS).replace(linsys="sharded")
+    if isinstance(c, LP):
+        lp = c
+    else:
+        lp = make_lp(c, A, b)
+    lp = lp.astype(dtype_of(opts.dtype))
+
+    if mesh is None:
+        mesh = meshlib.make_mesh(batch=1, row=len(jax.devices()))
+    p = mesh.shape[meshlib.ROW_AXIS]
+    if lp.n % p or lp.m % p:
+        raise ValueError(
+            f"sharded solve needs m ({lp.m}) and n ({lp.n}) divisible by "
+            f"the row-shard count p={p}; pad the problem first")
+
+    sh = meshlib.large_lp_sharding(mesh)
+    lp = LP(c=jax.device_put(lp.c, sh["c"]),
+            A=jax.device_put(lp.A, sh["A"]),
+            b=jax.device_put(lp.b, sh["b"]),
+            obj_offset=jax.device_put(lp.obj_offset, sh["obj_offset"]))
+    with schur.use_mesh(mesh):
+        st = _run_single(lp, opts)
+        jax.block_until_ready(st.x)
+    return _state_to_solution(lp, st)
+
+
 def solve_batch(lps, options: Optional[SolverOptions] = None) -> list:
     """Solve a batch of same-shape LPs in one device program.
 

@@ -64,7 +64,14 @@ def factor(A: jax.Array, d2: jax.Array, opts: SolverOptions,
     residual uses the true unscaled, unregularized operator — then removes.
     ``reg_scale`` is the iteration-level escalation factor (IPMState.reg_boost)
     raised after a non-finite step.
+
+    With ``opts.linsys == "sharded"`` (BASELINE config 4: m too large for a
+    replicated m x m matrix) this dispatches to the Schur-complement layer
+    (ipx/linsys/schur.py) — static trace-time dispatch, same call sites.
     """
+    if opts.linsys == "sharded":
+        from ipx.linsys import schur
+        return schur.factor(A, d2, opts, reg_scale)
     M = assemble(A, d2, opts.matmul_precision)
     m = M.shape[-1]
     diag = jnp.diagonal(M)
@@ -127,6 +134,9 @@ def solve(fac: NormalEqFactor, A: jax.Array, rhs: jax.Array,
     is the CG iteration count — a static trip count, so the loop unrolls
     into one fused XLA region with no convergence control flow.
     """
+    if opts.linsys == "sharded":
+        from ipx.linsys import schur
+        return schur.solve(fac, A, rhs, opts)
     prec = opts.matmul_precision
     dt = rhs.dtype
     tiny = jnp.asarray(jnp.finfo(dt).tiny, dt)

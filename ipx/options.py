@@ -60,6 +60,8 @@ class SolverOptions:
     # --- linear-system backend ---------------------------------------------
     linsys: str = "dense"       # "dense" (single/vmap) | "sharded" (row-block)
     chol_backend: str = "xla"   # "xla" (jnp.linalg.cholesky) | "pallas"
+    cg_iters_sharded: int = 40  # CG iterations for the sharded (config 4)
+                                # block-Jacobi-preconditioned normal solve
 
     # --- sharding ----------------------------------------------------------
     batch_axis: str = "batch"

@@ -1,0 +1,64 @@
+"""Sharded Schur-complement tests on the 8-device CPU mesh (SURVEY.md §4.2
+"Distributed w/o cluster": the same shard_map + psum_scatter code that rides
+ICI on TPU runs on the host-platform fake mesh in CI)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import ipx
+from ipx import mesh as meshlib
+from ipx.linsys import schur, normal_eq
+from ipx.problem.generate import random_feasible_lp
+
+
+needs_8 = pytest.mark.skipif(len(jax.devices()) < 8,
+                             reason="needs 8 (virtual) devices")
+
+
+@needs_8
+def test_sharded_factor_solve_matches_dense():
+    """One sharded normal-equations solve == the dense-path solve."""
+    rng = np.random.default_rng(0)
+    m, n = 64, 128
+    A = jnp.asarray(rng.standard_normal((m, n)) / np.sqrt(n), jnp.float32)
+    d2 = jnp.asarray(rng.uniform(0.5, 2.0, n), jnp.float32)
+    rhs = jnp.asarray(rng.standard_normal(m), jnp.float32)
+
+    dense_opts = ipx.SolverOptions(dtype="float32")
+    fac_d = normal_eq.factor(A, d2, dense_opts)
+    y_dense = normal_eq.solve(fac_d, A, rhs, dense_opts)
+
+    mesh = meshlib.make_mesh(batch=1, row=8)
+    sh_opts = dense_opts.replace(linsys="sharded", cg_iters_sharded=60)
+    with schur.use_mesh(mesh):
+        fac_s = normal_eq.factor(A, d2, sh_opts)
+        y_sh = normal_eq.solve(fac_s, A, rhs, sh_opts)
+    np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_dense),
+                               rtol=2e-3, atol=2e-4)
+
+
+@needs_8
+def test_solve_large_matches_unsharded():
+    """Full IPM on the sharded backend == dense backend objective."""
+    g = random_feasible_lp(64, 128, seed=1)
+    dense = ipx.solve(g.c, g.A, g.b,
+                      options=ipx.SolverOptions(dtype="float32"))
+    mesh = meshlib.make_mesh(batch=1, row=8)
+    sol = ipx.solve_large(g.c, g.A, g.b, mesh=mesh,
+                          options=ipx.SolverOptions(dtype="float32",
+                                                    cg_iters_sharded=60))
+    assert sol.optimal, sol.iteration_table()
+    rel = abs(sol.objective - dense.objective) / (1 + abs(dense.objective))
+    assert rel <= 5e-6
+    rel_star = abs(sol.objective - g.obj_star) / (1 + abs(g.obj_star))
+    assert rel_star <= 5e-6
+
+
+@needs_8
+def test_solve_large_rejects_indivisible():
+    g = random_feasible_lp(30, 50, seed=2)
+    mesh = meshlib.make_mesh(batch=1, row=8)
+    with pytest.raises(ValueError):
+        ipx.solve_large(g.c, g.A, g.b, mesh=mesh)
