@@ -156,7 +156,9 @@ def mehrotra_step(lp: LP, state: IPMState, opts: SolverOptions,
             # hard part 1).  The complementarity row moves by S*(proj delta),
             # second-order small once e_p is small.
             e_p = rp + mv(A, dx, prec)
-            dx = dx - mv(A.T, normal_eq.solve(fac_aat, A, e_p, opts), prec)
+            proj_opts = opts.replace(refine_steps=opts.proj_cg_iters)
+            dx = dx - mv(A.T, normal_eq.solve(fac_aat, A, e_p, proj_opts),
+                         prec)
         return dx, dy, ds
 
     # --- predictor (R7) ------------------------------------------------------

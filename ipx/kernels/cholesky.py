@@ -46,38 +46,49 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _factor_diag_block(blk):
-    """Cholesky of an (NB, NB) SPD block + inverse of its factor.
+def _factor_diag_blocks(blk):
+    """Batched Cholesky of (BS, NB, NB) SPD blocks + inverses of the factors.
 
-    Column loop j = 0..NB-1: rank-1 right-looking elimination for L's column
-    j, fused with the forward-substitution recurrence
+    Column loop j = 0..NB-1, VECTORIZED over the BS sub-batch — this is the
+    kernel's only sequential chain, so amortizing it across instances is the
+    key throughput trick.  Each step: rank-1 right-looking elimination for
+    L's column j, fused with the forward-substitution recurrence
     ``inv(L)[j,:] = (e_j - L[j,:] @ inv(L)) / L[jj]`` (rows < j of W are
     already final, rows >= j still zero, so the matvec needs no masking).
     All indexing is via iota masks — Mosaic has no dynamic_slice on values.
     """
-    q = blk.shape[0]
+    bs, q, _ = blk.shape
     dt = blk.dtype
-    rows = jax.lax.broadcasted_iota(jnp.int32, (q, q), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (q, q), 1)
-    rows_c = jax.lax.broadcasted_iota(jnp.int32, (q, 1), 0)
-    cols_r = jax.lax.broadcasted_iota(jnp.int32, (1, q), 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, q, q), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, q, q), 2)
+    rows_c = jax.lax.broadcasted_iota(jnp.int32, (1, q, 1), 1)
+    cols_r = jax.lax.broadcasted_iota(jnp.int32, (1, 1, q), 2)
     tiny = jnp.asarray(jnp.finfo(dt).tiny, dt)
     zero = jnp.zeros((), dt)
+    ones = jnp.ones_like(blk)
 
     def body(j, carry):
         a, L, W = carry
-        ajj = jnp.sum(jnp.where((rows == j) & (cols == j), a, zero))
-        piv = jnp.sqrt(jnp.maximum(ajj, tiny))
-        inv_piv = 1.0 / piv
-        col = jnp.sum(jnp.where(cols == j, a, zero), axis=1, keepdims=True)
-        l = jnp.where(rows_c >= j, col * inv_piv, zero)          # (q, 1)
-        a = a - l * jnp.transpose(l)                              # rank-1
+        # Mosaic cannot lay out (BS,1,1) arrays, so the pivot is replicated
+        # across a row by a ones-matmul instead of reduced to a scalar.
+        d_row = jnp.sum(jnp.where((rows == j) & (cols == j), a, zero),
+                        axis=1, keepdims=True)                   # (BS,1,q)
+        ajj_row = jax.lax.dot_general(
+            d_row, ones, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=dt, precision=_HP)            # replicated
+        inv_piv_row = jax.lax.rsqrt(jnp.maximum(ajj_row, tiny))  # (BS,1,q)
+        inv_piv_col = jnp.swapaxes(inv_piv_row, 1, 2)            # (BS,q,1)
+        col = jnp.sum(jnp.where(cols == j, a, zero), axis=2,
+                      keepdims=True)                              # (BS,q,1)
+        l = jnp.where(rows_c >= j, col * inv_piv_col, zero)
+        a = a - l * jnp.swapaxes(l, 1, 2)                         # rank-1
         L = jnp.where(cols == j, l, L)
-        lrow = jnp.sum(jnp.where(rows == j, L, zero), axis=0,
-                       keepdims=True)                             # (1, q)
+        lrow = jnp.sum(jnp.where(rows == j, L, zero), axis=1,
+                       keepdims=True)                             # (BS,1,q)
         ej = (cols_r == j).astype(dt)
-        wrow = (ej - jnp.dot(lrow, W, preferred_element_type=dt,
-                             precision=_HP)) * inv_piv
+        wrow = (ej - jax.lax.dot_general(
+            lrow, W, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=dt, precision=_HP)) * inv_piv_row
         # the dot includes L[j,j]*W[j,:], but W[j,:] is still zero — exact.
         W = jnp.where(rows == j, wrow, W)
         return a, L, W
@@ -87,69 +98,142 @@ def _factor_diag_block(blk):
     return L, W
 
 
-def _cholesky_kernel(a_ref, l_ref, w_ref, *, m: int):
-    """One batch instance, factored IN PLACE in l_ref (aliased with a_ref).
+def _bmm(a, b):
+    """Batched (BS, p, q) @ (BS, q, r) on the MXU, f32 accumulate."""
+    return jax.lax.dot_general(a, b, (((2,), (1,)), ((0,), (0,))),
+                               preferred_element_type=jnp.float32,
+                               precision=_HP)
 
-    l_ref: (1, m, m) — holds A on entry, L on exit (strict upper zeroed);
-    w_ref: (1, m//NB, NB, NB) diagonal-block inverses.
-    All slicing below is static (Python ints), the Mosaic-supported path.
+
+def _cholesky_panel_kernel(m_hbm, l_hbm, w_hbm, S, T, w_s, sems,
+                           *, m: int, B: int, BS: int):
+    """Panel step k (grid dim 0) of the batched right-looking factorization.
+
+    Everything lives in HBM; each panel step processes all B instances in
+    sub-batches of BS.  Per sub-batch: DMA the full column stripe
+    (BS, m, NB) into VMEM, factor the diagonal blocks (vectorized over the
+    sub-batch — the only sequential chain), matmul the TRSM panel, write the
+    finished L stripe back, then apply the trailing MXU syrk tile-by-tile
+    (static tile loop, predicated on tile > k).  m_hbm is the aliased input
+    (same buffer as l_hbm): right-looking updates keep it current.
     """
-    # The HBM buffers are aliased, but the pipelined VMEM blocks are distinct
-    # buffers — l_ref's VMEM block is NOT initialized with A. Copy explicitly,
-    # then work entirely in l_ref.
-    l_ref[0] = a_ref[0]
+    del m_hbm
+    k = pl.program_id(0)
+    o = pl.multiple_of(k * NB, NB)
     nblk = m // NB
-    for k in range(nblk):
-        o = k * NB
-        Lkk, Wkk = _factor_diag_block(l_ref[0, o:o + NB, o:o + NB])
-        l_ref[0, o:o + NB, o:o + NB] = Lkk
-        w_ref[0, k] = Wkk
-        if o + NB < m:
-            panel = jnp.dot(l_ref[0, o + NB:, o:o + NB], jnp.transpose(Wkk),
-                            preferred_element_type=jnp.float32, precision=_HP)
-            l_ref[0, o + NB:, o:o + NB] = panel
-            # trailing syrk on the MXU
-            l_ref[0, o + NB:, o + NB:] = l_ref[0, o + NB:, o + NB:] - jnp.dot(
-                panel, jnp.transpose(panel),
-                preferred_element_type=jnp.float32, precision=_HP)
-            # clear this panel-row's strict upper blocks (they still hold A)
-            l_ref[0, o:o + NB, o + NB:] = jnp.zeros((NB, m - o - NB),
-                                                    jnp.float32)
+    rows_m = jax.lax.broadcasted_iota(jnp.int32, (1, m, 1), 1)
+
+    def sub_batch(bs, _):
+        b0 = pl.multiple_of(bs * BS, BS)
+        # --- load column stripe k: holds updated M for rows >= o ----------
+        ld = pltpu.make_async_copy(
+            l_hbm.at[pl.ds(b0, BS), :, pl.ds(o, NB)], S, sems.at[0])
+        ld.start()
+        ld.wait()
+        # --- factor diagonal blocks (batched) -----------------------------
+        D = S[:, pl.ds(o, NB), :]                       # (BS, NB, NB)
+        L_D, W_D = _factor_diag_blocks(D)
+        w_s[:] = W_D
+        st_w = pltpu.make_async_copy(
+            w_s, w_hbm.at[pl.ds(b0, BS), k], sems.at[1])
+        st_w.start()
+        # --- panel TRSM as one batched MXU matmul -------------------------
+        below = rows_m >= o + NB                         # (1, m, 1)
+        P = _bmm(S[:], jnp.swapaxes(W_D, 1, 2))          # (BS, m, NB)
+        S[:] = jnp.where(below, P, 0.0)                  # zero above+diag
+        S[:, pl.ds(o, NB), :] = L_D                      # insert diag block
+        st_l = pltpu.make_async_copy(
+            S, l_hbm.at[pl.ds(b0, BS), :, pl.ds(o, NB)], sems.at[2])
+        st_l.start()
+        st_l.wait()
+        # --- trailing syrk, tile by tile (static loop, predicated) --------
+        for j in range(1, nblk):
+            oj = j * NB
+
+            @pl.when(j > k)
+            def _():
+                ldt = pltpu.make_async_copy(
+                    l_hbm.at[pl.ds(b0, BS), :, oj:oj + NB], T, sems.at[0])
+                ldt.start()
+                ldt.wait()
+                Lrow_j = S[:, oj:oj + NB, :]             # L[c,k] for tile j
+                upd = _bmm(S[:], jnp.swapaxes(Lrow_j, 1, 2))
+                T[:] = T[:] - jnp.where(below, upd, 0.0)
+                stt = pltpu.make_async_copy(
+                    T, l_hbm.at[pl.ds(b0, BS), :, oj:oj + NB], sems.at[2])
+                stt.start()
+                stt.wait()
+        st_w.wait()
+        return 0
+
+    jax.lax.fori_loop(0, B // BS, sub_batch, 0)
+
+
+def _sub_batch_size(B: int, m: int) -> int:
+    """Largest divisor of B with two (BS, m, NB) stripes under ~10MB VMEM."""
+    cap = max(1, (10 << 20) // (2 * m * NB * 4))
+    bs = 1
+    for d in range(1, min(B, cap) + 1):
+        if B % d == 0:
+            bs = d
+    return bs
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def cholesky_batched(M: jax.Array, interpret: bool | None = None):
-    """Batched Cholesky: M (B, m, m) SPD -> (L (B, m, m), W (B, m/NB, NB, NB)).
-
-    ``W`` holds inv(L_kk) for each diagonal block — consumed by
-    :func:`solve_triangular_batched` to turn triangular solves into matmuls.
-    m must be a multiple of 128 (pad upstream; ipx/linsys/normal_eq.py does).
-    """
+def _cholesky_batched_impl(M: jax.Array, interpret: bool | None = None):
     if interpret is None:
         interpret = _interpret()
     B, m, m2 = M.shape
     assert m == m2 and m % NB == 0, f"m={m} must be a multiple of {NB}"
     nblk = m // NB
-    kernel = functools.partial(_cholesky_kernel, m=m)
+    BS = _sub_batch_size(B, m)
+    kernel = functools.partial(_cholesky_panel_kernel, m=m, B=B, BS=BS)
     L, W = pl.pallas_call(
         kernel,
-        grid=(B,),
-        in_specs=[pl.BlockSpec((1, m, m), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM)],
+        grid=(nblk,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(
-            pl.BlockSpec((1, m, m), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nblk, NB, NB), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, m, m), jnp.float32),
             jax.ShapeDtypeStruct((B, nblk, NB, NB), jnp.float32),
         ),
-        input_output_aliases={0: 0},   # factor in place: A buffer becomes L
+        scratch_shapes=[
+            pltpu.VMEM((BS, m, NB), jnp.float32),     # S: column stripe
+            pltpu.VMEM((BS, m, NB), jnp.float32),     # T: trailing tile
+            pltpu.VMEM((BS, NB, NB), jnp.float32),    # w_s: staging for W
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        input_output_aliases={0: 0},   # factor in place: M buffer becomes L
         interpret=interpret,
     )(M.astype(jnp.float32))
     return L, W
+
+
+@jax.custom_batching.custom_vmap
+def cholesky_batched(M: jax.Array):
+    """Batched Cholesky: M (B, m, m) SPD -> (L (B, m, m), W (B, m/NB, NB, NB)).
+
+    ``W`` holds inv(L_kk) for each diagonal block — consumed by
+    :func:`solve_triangular_batched` to turn triangular solves into matmuls.
+    m must be a multiple of 128 (pad upstream; ipx/linsys/normal_eq.py does).
+    vmap-ing this function collapses the mapped axis into the kernel's batch
+    axis (custom_vmap below) instead of adding a pallas grid dimension.
+    """
+    return _cholesky_batched_impl(M)
+
+
+@cholesky_batched.def_vmap
+def _cholesky_batched_vmap(axis_size, in_batched, M):
+    (mb,) = in_batched
+    if not mb:
+        M = jnp.broadcast_to(M[None], (axis_size, *M.shape))
+    V, B = M.shape[0], M.shape[1]
+    L, W = cholesky_batched(M.reshape(V * B, *M.shape[2:]))
+    return ((L.reshape(V, B, *L.shape[1:]), W.reshape(V, B, *W.shape[1:])),
+            (True, True))
 
 
 def _solve_kernel(l_ref, w_ref, b_ref, x_ref, *, m: int, lower: bool):
@@ -220,10 +304,81 @@ def solve_triangular_batched(L: jax.Array, W: jax.Array, b: jax.Array,
     return x[..., 0]
 
 
-def chol_solve_batched(L, W, b, interpret: bool | None = None):
-    """Solve (L L^T) x = b given the batched factor."""
-    y = solve_triangular_batched(L, W, b, lower=True, interpret=interpret)
-    return solve_triangular_batched(L, W, y, lower=False, interpret=interpret)
+def _solve_pair_kernel(l_ref, w_ref, b_ref, x_ref, yv, *, m: int):
+    """Fused L y = b; L^T x = y for one instance — ONE L stream per apply.
+
+    The forward result lives in the yv scratch; both sweeps read the same
+    VMEM-resident L block, so the preconditioner application costs one HBM
+    stream of L instead of two."""
+    nblk = m // NB
+    for k in range(nblk):
+        o = k * NB
+        r = b_ref[0, o:o + NB, :]
+        if o > 0:
+            r = r - jnp.dot(l_ref[0, o:o + NB, :o], yv[:o, :],
+                            preferred_element_type=jnp.float32, precision=_HP)
+        yv[o:o + NB, :] = jnp.dot(w_ref[0, k], r,
+                                  preferred_element_type=jnp.float32,
+                                  precision=_HP)
+    for k in range(nblk - 1, -1, -1):
+        o = k * NB
+        r = yv[o:o + NB, :]
+        if o + NB < m:
+            r = r - jnp.dot(jnp.transpose(l_ref[0, o + NB:, o:o + NB]),
+                            x_ref[0, o + NB:, :],
+                            preferred_element_type=jnp.float32, precision=_HP)
+        x_ref[0, o:o + NB, :] = jnp.dot(jnp.transpose(w_ref[0, k]), r,
+                                        preferred_element_type=jnp.float32,
+                                        precision=_HP)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _chol_solve_pair_impl(L, W, b, interpret: bool | None = None):
+    if interpret is None:
+        interpret = _interpret()
+    B, m, _ = L.shape
+    nblk = m // NB
+    kernel = functools.partial(_solve_pair_kernel, m=m)
+    x = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, m, m), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nblk, NB, NB), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, m, 1), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, m, 1), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((m, 1), jnp.float32)],
+        interpret=interpret,
+    )(L, W, b[..., None].astype(jnp.float32))
+    return x[..., 0]
+
+
+@jax.custom_batching.custom_vmap
+def chol_solve_batched(L, W, b):
+    """Solve (L L^T) x = b given the batched factor — fused fwd+bwd kernel.
+
+    vmap collapses into the kernel batch axis (custom_vmap), so batched
+    solvers get grid-level batching instead of a pallas vmap dimension."""
+    return _chol_solve_pair_impl(L, W, b)
+
+
+@chol_solve_batched.def_vmap
+def _chol_solve_batched_vmap(axis_size, in_batched, L, W, b):
+    ops = [L, W, b]
+    ops = [o if bt else jnp.broadcast_to(o[None], (axis_size, *o.shape))
+           for o, bt in zip(ops, in_batched)]
+    L, W, b = ops
+    V, B = L.shape[0], L.shape[1]
+    x = chol_solve_batched(L.reshape(V * B, *L.shape[2:]),
+                           W.reshape(V * B, *W.shape[2:]),
+                           b.reshape(V * B, *b.shape[2:]))
+    return x.reshape(V, B, *x.shape[1:]), True
 
 
 # --- single-instance conveniences (used by normal_eq under vmap) -----------

@@ -34,6 +34,13 @@ class SolverOptions:
     dtype: str = "float32"      # compute dtype: "float32" | "float64" (CPU only)
     reg: float = 1e-8           # relative Tikhonov regularization of A D^2 A^T
     refine_steps: int = 3       # PCG iterations per normal-equations solve
+    # CG operator: "assembled" streams the m x m normal matrix per matvec
+    # (4x less HBM traffic; initial residual stays matrix-free as defect
+    # correction); "matrix_free" applies A (d2 (A^T v)) every iteration —
+    # needed only for pathologically scaled problems (netlib suite synth17
+    # class), hence the robust default.  Throughput configs (bench.py)
+    # select "assembled" and validate with a convergence probe.
+    cg_operator: str = "matrix_free"
     kkt_refine_steps: int = 2   # full-KKT refinement sweeps per direction
     matmul_precision: str = "highest"   # "highest" | "default"
     pos_floor: float = 1e-30    # absolute floor keeping x, s > 0 in f32
@@ -46,6 +53,8 @@ class SolverOptions:
     # Project each search direction onto {A dx = -rp} via the loop-invariant
     # AA^T factor — pins primal feasibility at mu-independent f32 accuracy.
     project_feasibility: bool = True
+    proj_cg_iters: int = 1      # CG iterations for the projection solve
+                                # (AA^T is Ruiz-tame; 1 usually suffices)
     # Centrality backoff: halve alpha up to backoff_candidates-1 times until
     # min(x_j s_j) >= neighborhood_gamma * mu after the step (N_-inf
     # neighborhood guard; keeps f32's d2 = x/s spread factorable).
@@ -59,7 +68,9 @@ class SolverOptions:
 
     # --- linear-system backend ---------------------------------------------
     linsys: str = "dense"       # "dense" (single/vmap) | "sharded" (row-block)
-    chol_backend: str = "xla"   # "xla" (jnp.linalg.cholesky) | "pallas"
+    chol_backend: str = "xla"   # "xla" (jnp.linalg.cholesky + XLA trsm)
+                                # | "pallas" (Mosaic factor + fused solves)
+                                # | "hybrid" (XLA potrf + Pallas fused solves)
     cg_iters_sharded: int = 40  # CG iterations for the sharded (config 4)
                                 # block-Jacobi-preconditioned normal solve
 

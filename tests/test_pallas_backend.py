@@ -42,3 +42,26 @@ def test_batched_solve_pallas_backend():
         assert sol.status == int(Status.OPTIMAL), sol.iteration_table()
         rel = abs(sol.objective - g.obj_star) / (1 + abs(g.obj_star))
         assert rel <= 5e-6
+
+
+def test_fused_pcg_path():
+    """chol_backend=pallas + cg_operator=assembled -> the fused PCG kernel."""
+    g = random_feasible_lp(70, 140, seed=11)
+    opts = ipx.SolverOptions(dtype="float32", chol_backend="pallas",
+                             cg_operator="assembled")
+    sol = ipx.solve(g.c, g.A, g.b, options=opts)
+    assert sol.status == int(Status.OPTIMAL), sol.iteration_table()
+    rel = abs(sol.objective - g.obj_star) / (1 + abs(g.obj_star))
+    assert rel <= 5e-6
+
+
+def test_fused_pcg_batched():
+    gs = [random_feasible_lp(40, 80, seed=s) for s in range(3)]
+    lps = [make_lp(g.c, g.A, g.b) for g in gs]
+    opts = ipx.SolverOptions(dtype="float32", chol_backend="pallas",
+                             cg_operator="assembled")
+    sols = ipx.solve_batch(lps, options=opts)
+    for g, sol in zip(gs, sols):
+        assert sol.status == int(Status.OPTIMAL)
+        rel = abs(sol.objective - g.obj_star) / (1 + abs(g.obj_star))
+        assert rel <= 5e-6
