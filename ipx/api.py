@@ -58,6 +58,12 @@ def _run_single(lp: LP, opts: SolverOptions) -> IPMState:
 
 
 @partial(jax.jit, static_argnums=(1,))
+def _run_single_resumed(lp: LP, opts: SolverOptions,
+                        state0: IPMState) -> IPMState:
+    return mehrotra.run_single(lp, opts, state0)
+
+
+@partial(jax.jit, static_argnums=(1,))
 def _run_batch(lp: LP, opts: SolverOptions) -> IPMState:
     from ipx.ipm import batched
     return batched.run_batch(lp, opts)
@@ -93,19 +99,33 @@ def _state_to_solution(lp: LP, st, obj_offset: float = 0.0) -> Solution:
     )
 
 
-def solve(c, A=None, b=None, options: Optional[SolverOptions] = None) -> Solution:
+def solve(c, A=None, b=None, options: Optional[SolverOptions] = None,
+          resume_from: Optional[str] = None,
+          checkpoint_to: Optional[str] = None) -> Solution:
     """Solve one standard-form LP ``min c@x s.t. A@x=b, x>=0`` on device.
 
     Accepts either ``solve(lp_obj)`` with an :class:`LP` or
     ``solve(c, A, b)`` with array-likes.
+
+    ``resume_from`` warm-starts from an ``ipx.obs.save_state`` snapshot;
+    ``checkpoint_to`` writes the final state there (chunked solving: cap
+    ``max_iter``, checkpoint, resume — SURVEY.md §5.3/§5.4).
     """
+    from ipx import obs
+
     opts = options or DEFAULT_OPTIONS
     if isinstance(c, LP):
         lp = c
     else:
         lp = make_lp(c, A, b)
     lp = lp.astype(dtype_of(opts.dtype))
-    st = _run_single(lp, opts)
+    if resume_from is not None:
+        state0 = obs.resume_state(obs.load_state(resume_from), opts.max_iter)
+        st = _run_single_resumed(lp, opts, state0)
+    else:
+        st = _run_single(lp, opts)
+    if checkpoint_to is not None:
+        obs.save_state(checkpoint_to, st)
     return _state_to_solution(lp, st)
 
 

@@ -1,0 +1,149 @@
+"""Command-line interface (SURVEY.md component N14, layer L7).
+
+    python -m ipx solve problem.mps [--tol 1e-6] [--dtype float32] ...
+    python -m ipx random --m 50 --n 100 [--batch 8]
+    python -m ipx bench  [... forwarded to bench.py ...]
+
+The reference's driver script (SURVEY.md R13) runs hard-coded examples;
+this CLI exposes the same capability over arbitrary MPS files and generated
+instances, with the full options surface mapped to flags (§5.6).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _add_solver_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--platform", default=None,
+                   help="jax platform override (e.g. cpu, tpu); this env's "
+                        "JAX_PLATFORMS can be pre-empted by platform "
+                        "plugins, so the flag sets jax.config directly")
+    p.add_argument("--tol", type=float, default=None)
+    p.add_argument("--max-iter", type=int, default=None)
+    p.add_argument("--dtype", choices=["float32", "float64"], default=None)
+    p.add_argument("--chol-backend", choices=["xla", "pallas", "hybrid"],
+                   default=None)
+    p.add_argument("--cg-operator", choices=["matrix_free", "assembled"],
+                   default=None)
+    p.add_argument("--refine-steps", type=int, default=None)
+    p.add_argument("--kkt-refine-steps", type=int, default=None)
+    p.add_argument("--resume-from", default=None)
+    p.add_argument("--checkpoint-to", default=None)
+    p.add_argument("--json", action="store_true",
+                   help="machine-readable one-line JSON result")
+    p.add_argument("--quiet", action="store_true",
+                   help="suppress the iteration table")
+
+
+def _build_options(args):
+    from ipx.options import SolverOptions
+    kw = {}
+    for flag, field in [("tol", "tol"), ("max_iter", "max_iter"),
+                        ("dtype", "dtype"), ("chol_backend", "chol_backend"),
+                        ("cg_operator", "cg_operator"),
+                        ("refine_steps", "refine_steps"),
+                        ("kkt_refine_steps", "kkt_refine_steps")]:
+        v = getattr(args, flag)
+        if v is not None:
+            kw[field] = v
+    return SolverOptions(**kw)
+
+
+def _report(sol, args, extra=None) -> int:
+    if args.json:
+        out = {"status": sol.status_name, "objective": sol.objective,
+               "iterations": sol.iterations, "rel_gap": sol.rel_gap,
+               "rp_rel": sol.rp_rel, "rd_rel": sol.rd_rel}
+        out.update(extra or {})
+        print(json.dumps(out))
+    else:
+        if extra:
+            for k, v in extra.items():
+                print(f"{k}: {v}")
+        if not args.quiet:
+            print(sol.iteration_table())
+        print(f"status     : {sol.status_name}")
+        print(f"objective  : {sol.objective:.10g}")
+        print(f"iterations : {sol.iterations}")
+        print(f"rel gap    : {sol.rel_gap:.3e}   "
+              f"rp {sol.rp_rel:.3e}  rd {sol.rd_rel:.3e}")
+    return 0 if sol.optimal else 1
+
+
+def cmd_solve(args) -> int:
+    import ipx
+    sol = ipx.solve_mps(args.file, _build_options(args))
+    return _report(sol, args, {"file": args.file})
+
+
+def cmd_random(args) -> int:
+    import ipx
+    from ipx.problem.generate import random_feasible_lp
+    from ipx.problem.lp import make_lp
+    opts = _build_options(args)
+    if args.batch > 1:
+        gs = [random_feasible_lp(args.m, args.n, seed=args.seed + i)
+              for i in range(args.batch)]
+        sols = ipx.solve_batch([make_lp(g.c, g.A, g.b) for g in gs],
+                               options=opts)
+        worst = 0
+        for g, s in zip(gs, sols):
+            rel = abs(s.objective - g.obj_star) / (1 + abs(g.obj_star))
+            print(f"seed {g and ''}{s.status_name:10s} iters {s.iterations:3d}"
+                  f"  obj {s.objective: .6e}  vs-known {rel:.2e}")
+            worst = max(worst, 0 if s.optimal else 1)
+        return worst
+    g = random_feasible_lp(args.m, args.n, seed=args.seed)
+    sol = ipx.solve(g.c, g.A, g.b, options=opts,
+                    resume_from=args.resume_from,
+                    checkpoint_to=args.checkpoint_to)
+    rel = abs(sol.objective - g.obj_star) / (1 + abs(g.obj_star))
+    return _report(sol, args, {"known_optimum_rel_err": f"{rel:.3e}"})
+
+
+def cmd_bench(args, rest) -> int:
+    import runpy
+    import os
+    sys.argv = ["bench.py"] + rest
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), "bench.py")
+    runpy.run_path(path, run_name="__main__")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="ipx", description="TPU-native interior-point LP solver")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_solve = sub.add_parser("solve", help="solve an MPS file")
+    p_solve.add_argument("file")
+    _add_solver_flags(p_solve)
+
+    p_rand = sub.add_parser("random", help="solve random feasible LP(s)")
+    p_rand.add_argument("--m", type=int, default=50)
+    p_rand.add_argument("--n", type=int, default=100)
+    p_rand.add_argument("--batch", type=int, default=1)
+    p_rand.add_argument("--seed", type=int, default=0)
+    _add_solver_flags(p_rand)
+
+    sub.add_parser("bench", help="run the benchmark harness "
+                                 "(extra args forwarded to bench.py)")
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] == "bench":
+        return cmd_bench(None, argv[1:])
+    args = parser.parse_args(argv)
+    if getattr(args, "platform", None):
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    if args.cmd == "solve":
+        return cmd_solve(args)
+    if args.cmd == "random":
+        return cmd_random(args)
+    parser.error(f"unknown command {args.cmd}")
+    return 2

@@ -296,11 +296,17 @@ def finalize_status(state: IPMState, opts: SolverOptions) -> IPMState:
     return dataclasses.replace(state, status=status)
 
 
-def run_single(lp: LP, opts: SolverOptions) -> IPMState:
-    """Full solve of one LP: starting point + while_loop. Jit-compatible."""
+def run_single(lp: LP, opts: SolverOptions, state0: IPMState | None = None
+               ) -> IPMState:
+    """Full solve of one LP: starting point + while_loop. Jit-compatible.
+
+    ``state0`` resumes from a checkpoint (SURVEY.md §5.3/§5.4): the iterate
+    is the complete algorithm state, so a warm restart continues exactly;
+    only the loop-invariant AA^T factor is recomputed."""
     x0, y0, s0, fac_aat = starting_point(lp, opts)
-    mu0 = jnp.vdot(x0, s0) / lp.n
-    state0 = init_state(x0, y0, s0, mu0, opts.max_iter)
+    if state0 is None:
+        mu0 = jnp.vdot(x0, s0) / lp.n
+        state0 = init_state(x0, y0, s0, mu0, opts.max_iter)
 
     def cond(st: IPMState):
         return (st.status == jnp.int32(Status.RUNNING)) & (st.it < opts.max_iter)

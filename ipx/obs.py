@@ -1,0 +1,120 @@
+"""Observability: checkpoint/resume, profiling hooks, timing (SURVEY.md N16,
+§5.1-§5.5).
+
+The reference's only observability is per-iteration prints (SURVEY.md R14);
+the TPU-native solver instead carries a bounded on-device trace buffer in
+IPMState (rendered by Solution.iteration_table).  This module adds the
+host-side pieces:
+
+  * checkpoint/resume — IPM state (x, y, s, iter, ...) is a tiny pytree; a
+    periodic .npz snapshot plus ``resume_state`` makes any solve restartable
+    (elastic-recovery mechanism, §5.3/§5.4; IPM tolerates warm restarts
+    trivially because the iterate IS the algorithm state).
+  * ``timed_section`` / ``trace_to`` — wall timing and jax.profiler capture
+    around benchmark regions (§5.1).
+  * ``debug_mode`` — jax_debug_nans + checkify-style strictness for tests
+    (§5.2: SPMD JAX has no data races; NaN/domain errors are the analog).
+"""
+from __future__ import annotations
+
+import contextlib
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ipx.ipm.state import IPMState, TRACE_COLS
+
+
+# ---------------------------------------------------------------------------
+# checkpoint / resume
+# ---------------------------------------------------------------------------
+
+_STATE_FIELDS = ("x", "y", "s", "it", "status", "mu", "mu0", "rp_rel",
+                 "rd_rel", "rel_gap", "best_x", "best_y", "best_s",
+                 "best_merit", "reg_boost", "trace")
+
+
+def save_state(path: str, state: IPMState) -> None:
+    """Snapshot an IPMState (single or batched) to a compressed .npz."""
+    arrays = {f: np.asarray(getattr(state, f)) for f in _STATE_FIELDS}
+    np.savez_compressed(path, **arrays)
+
+
+def load_state(path: str) -> IPMState:
+    """Load a snapshot back into an IPMState pytree (device arrays)."""
+    with np.load(path) as z:
+        kw = {f: jnp.asarray(z[f]) for f in _STATE_FIELDS}
+    return IPMState(**kw)
+
+
+def resume_state(state: IPMState, max_iter: int) -> IPMState:
+    """Prepare a loaded state to continue under a (possibly larger)
+    iteration cap: the trace buffer is re-sized, everything else carries
+    over — the next ``run`` call continues exactly where the snapshot
+    stopped."""
+    import dataclasses
+    from ipx.status import Status
+    old = np.asarray(state.trace)
+    rows = min(old.shape[-2], max_iter)
+    trace = np.zeros((*old.shape[:-2], max_iter, TRACE_COLS), old.dtype)
+    trace[..., :rows, :] = old[..., :rows, :]
+    # a MAX_ITER exit becomes RUNNING again under the new cap; terminal
+    # states (OPTIMAL/FAILED/STALLED) stay terminal
+    status = jnp.where(state.status == jnp.int32(Status.MAX_ITER),
+                       jnp.int32(Status.RUNNING), state.status)
+    return dataclasses.replace(state, trace=jnp.asarray(trace),
+                               status=status)
+
+
+# ---------------------------------------------------------------------------
+# timing / profiling
+# ---------------------------------------------------------------------------
+
+@dataclass
+class SectionTiming:
+    name: str
+    seconds: float = 0.0
+
+
+@contextlib.contextmanager
+def timed_section(name: str, sink: Optional[list] = None):
+    """Wall-clock a region (device work must be block_until_ready'd by the
+    caller — timing async dispatch is meaningless)."""
+    t0 = time.perf_counter()
+    rec = SectionTiming(name)
+    try:
+        yield rec
+    finally:
+        rec.seconds = time.perf_counter() - t0
+        if sink is not None:
+            sink.append(rec)
+
+
+@contextlib.contextmanager
+def trace_to(logdir: str):
+    """jax.profiler capture around a region (view in TensorBoard/perfetto)."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+@contextlib.contextmanager
+def debug_mode():
+    """NaN-strict execution for debugging solver numerics (SURVEY.md §5.2).
+
+    Enables jax_debug_nans so the first non-finite intermediate raises with
+    a traceback into the offending op.  Only for debugging: it de-optimizes
+    (disables fusion across checks) and conflicts with the solver's own
+    deliberate NaN recovery (reg_boost) — expect failing factorizations to
+    raise instead of recover."""
+    jax.config.update("jax_debug_nans", True)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_debug_nans", False)

@@ -1,0 +1,148 @@
+"""Tests: checkpoint/resume, bucketed batching, CLI (SURVEY.md N14/N16,
+§5.3 fault-injection principle: kill mid-solve, resume, same objective)."""
+import json
+import subprocess
+import sys
+import os
+
+import numpy as np
+import pytest
+
+import ipx
+from ipx import obs
+from ipx.problem.generate import random_feasible_lp
+from ipx.problem import batching
+from ipx.status import Status
+
+
+# ---------------------------------------------------------------------------
+# checkpoint / resume (fault injection)
+# ---------------------------------------------------------------------------
+
+def test_checkpoint_resume_same_objective(tmp_path):
+    g = random_feasible_lp(40, 80, seed=3)
+    opts = ipx.SolverOptions(dtype="float32")
+
+    full = ipx.solve(g.c, g.A, g.b, options=opts)
+    assert full.optimal
+
+    # "fault": stop after 4 iterations, checkpoint, then resume
+    ck = str(tmp_path / "st.npz")
+    part = ipx.solve(g.c, g.A, g.b,
+                     options=opts.replace(max_iter=4), checkpoint_to=ck)
+    assert part.status == int(Status.MAX_ITER)
+    res = ipx.solve(g.c, g.A, g.b, options=opts, resume_from=ck)
+    assert res.optimal
+    rel = abs(res.objective - full.objective) / (1 + abs(full.objective))
+    assert rel <= 1e-6
+    # resumed run continued, not restarted
+    assert res.iterations > 4
+    assert res.iterations <= full.iterations + 4
+
+
+def test_state_roundtrip(tmp_path):
+    g = random_feasible_lp(20, 40, seed=1)
+    ck = str(tmp_path / "s.npz")
+    ipx.solve(g.c, g.A, g.b, options=ipx.SolverOptions(dtype="float32"),
+              checkpoint_to=ck)
+    st = obs.load_state(ck)
+    assert st.x.shape == (40,)
+    assert int(st.status) == int(Status.OPTIMAL)
+
+
+def test_timed_section():
+    sink = []
+    with obs.timed_section("work", sink):
+        sum(range(1000))
+    assert sink and sink[0].seconds >= 0
+
+
+# ---------------------------------------------------------------------------
+# bucketed batching
+# ---------------------------------------------------------------------------
+
+def test_pad_lp_solution_invariant():
+    g = random_feasible_lp(30, 60, seed=5)
+    p = batching.pad_lp(g.c, g.A, g.b, 48, 96)
+    opts = ipx.SolverOptions(dtype="float64")
+    sol_pad = ipx.solve(p.lp, options=opts)
+    sol_orig = ipx.solve(g.c, g.A, g.b, options=opts)
+    assert sol_pad.optimal
+    rel = abs(sol_pad.objective - sol_orig.objective) / (1 + abs(sol_orig.objective))
+    assert rel <= 1e-8
+    np.testing.assert_allclose(p.unpad_x(sol_pad.x), sol_orig.x, atol=1e-6)
+
+
+def test_bucket_lps_groups_and_solves():
+    rng = np.random.default_rng(0)
+    problems = []
+    gens = []
+    for i, (m, n) in enumerate([(10, 25), (12, 30), (40, 90), (11, 28)]):
+        g = random_feasible_lp(m, n, seed=i)
+        gens.append(g)
+        problems.append((g.c, g.A, g.b))
+    buckets = batching.bucket_lps(problems, m_multiple=8, n_multiple=16)
+    # similar small shapes share a bucket; the large one is separate
+    assert len(buckets) == 2
+    from ipx.ipm.batched import stack_lps
+    opts = ipx.SolverOptions(dtype="float32")
+    results = {}
+    for shape, items in buckets.items():
+        sols = ipx.solve_batch(stack_lps([p.lp for _, p in items]),
+                               options=opts)
+        for (idx, p), s in zip(items, sols):
+            results[idx] = (p, s)
+    for i, g in enumerate(gens):
+        p, s = results[i]
+        assert s.optimal
+        rel = abs(s.objective - g.obj_star) / (1 + abs(g.obj_star))
+        assert rel <= 5e-6
+
+
+def test_pad_lp_rejects_too_small_bucket():
+    g = random_feasible_lp(10, 20, seed=0)
+    with pytest.raises(ValueError):
+        batching.pad_lp(g.c, g.A, g.b, 16, 22)   # no room for 6 row slacks
+
+
+# ---------------------------------------------------------------------------
+# CLI
+# ---------------------------------------------------------------------------
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = dict(os.environ, JAX_PLATFORMS="cpu",
+           PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
+
+
+def test_cli_random_json():
+    r = subprocess.run(
+        [sys.executable, "-m", "ipx", "random", "--m", "20", "--n", "40",
+         "--json", "--quiet", "--platform", "cpu"],
+        capture_output=True, text=True, env=ENV, cwd=REPO, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["status"] == "OPTIMAL"
+
+
+def test_cli_solve_mps(tmp_path):
+    mps = tmp_path / "t.mps"
+    mps.write_text("""\
+NAME T
+ROWS
+ N obj
+ G g1
+COLUMNS
+    x obj 2.0 g1 1.0
+    y obj 3.0 g1 1.0
+RHS
+    rhs g1 4.0
+ENDATA
+""")
+    r = subprocess.run(
+        [sys.executable, "-m", "ipx", "solve", str(mps), "--json", "--quiet",
+         "--dtype", "float64", "--platform", "cpu"],
+        capture_output=True, text=True, env=ENV, cwd=REPO, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["status"] == "OPTIMAL"
+    assert abs(out["objective"] - 8.0) < 1e-6   # min 2x+3y, x+y>=4 -> x=4
