@@ -1,0 +1,115 @@
+"""Batch-scaling / multi-device scaling harness (SURVEY.md component N15;
+BASELINE.json config 5 reporting requirement: "iterations/s scaling
+efficiency at 1 chip, 1 host, N>=2 hosts").
+
+Measures steady-state batched-iteration throughput while scaling the batch
+over a ("batch",) device mesh and emits one JSONL record per point.  On a
+single real TPU chip the multi-device points run on the host-platform
+virtual mesh (set XLA_FLAGS=--xla_force_host_platform_device_count=N and
+--platform cpu) — the same sharded program that rides ICI on a pod.  On a
+real multi-chip slice, run unchanged after ``jax.distributed.initialize``
+(ipx.mesh.init_distributed) and the points scale over real devices.
+
+Usage:
+    python benchmarks/scaling.py [--devices 1 2 4 8] [--per-device-batch 4]
+        [--m 256] [--n 512] [--iters 6] [--platform cpu] [--out scaling.jsonl]
+"""
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
+    p.add_argument("--per-device-batch", type=int, default=4)
+    p.add_argument("--m", type=int, default=256)
+    p.add_argument("--n", type=int, default=512)
+    p.add_argument("--iters", type=int, default=6)
+    p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--platform", default=None)
+    p.add_argument("--out", default=None, help="JSONL output path (default stdout)")
+    args = p.parse_args()
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import ipx
+    from ipx import mesh as meshlib
+    from ipx.ipm import batched
+    from ipx.problem.generate import random_feasible_lp
+    from ipx.problem.lp import make_lp, LP
+
+    avail = len(jax.devices())
+    opts = ipx.SolverOptions(dtype="float32", max_iter=args.iters + 1)
+    sink = open(args.out, "w") if args.out else sys.stdout
+
+    @functools.partial(jax.jit, static_argnums=(3, 4))
+    def fixed(blp, st, fac, k, o):
+        return batched.run_batch_fixed_iters(blp, st, k, o, fac)
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def start(blp, o):
+        return batched.batch_starting_state(blp, o)
+
+    base_rate = None
+    for ndev in args.devices:
+        if ndev > avail:
+            print(f"# skipping {ndev} devices (have {avail})", file=sys.stderr)
+            continue
+        B = ndev * args.per_device_batch
+        gs = [random_feasible_lp(args.m, args.n, seed=i % 8) for i in range(B)]
+        blp = batched.stack_lps(
+            [make_lp(g.c, g.A, g.b) for g in gs]).astype(jnp.float32)
+        mesh = meshlib.make_mesh(batch=ndev, row=1)
+        sh = meshlib.batch_lp_sharding(mesh)
+        # row axis is size 1 here: the batch axis is what scales (config 3/5
+        # data parallelism; per-instance m fits one device at these shapes)
+        blp = LP(c=jax.device_put(blp.c, sh["c"]),
+                 A=jax.device_put(blp.A, sh["A"]),
+                 b=jax.device_put(blp.b, sh["b"]),
+                 obj_offset=jax.device_put(blp.obj_offset, sh["obj_offset"]))
+
+        st0, fac = start(blp, opts)
+        float(jnp.sum(st0.mu))
+
+        def run(k):
+            return float(np.asarray(fixed(blp, st0, fac, k, opts).mu).sum())
+
+        k1, k2 = max(1, args.iters // 3), args.iters
+        run(k1); run(k2)
+        def best(k):
+            ts = []
+            for _ in range(args.repeats):
+                t0 = time.perf_counter(); run(k)
+                ts.append(time.perf_counter() - t0)
+            return min(ts)
+        t_iter = max((best(k2) - best(k1)) / (k2 - k1), 1e-9)
+        inst_rate = B / t_iter
+        if base_rate is None:
+            base_rate = inst_rate / ndev
+        eff = inst_rate / (base_rate * ndev)
+        rec = {"devices": ndev, "batch": B, "m": args.m, "n": args.n,
+               "sec_per_batched_iter": round(t_iter, 6),
+               "instance_iters_per_s": round(inst_rate, 2),
+               "scaling_efficiency": round(eff, 4)}
+        print(json.dumps(rec), file=sink, flush=True)
+    if args.out:
+        sink.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
