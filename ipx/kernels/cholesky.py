@@ -51,50 +51,62 @@ def _factor_diag_blocks(blk):
 
     Column loop j = 0..NB-1, VECTORIZED over the BS sub-batch — this is the
     kernel's only sequential chain, so amortizing it across instances is the
-    key throughput trick.  Each step: rank-1 right-looking elimination for
-    L's column j, fused with the forward-substitution recurrence
-    ``inv(L)[j,:] = (e_j - L[j,:] @ inv(L)) / L[jj]`` (rows < j of W are
-    already final, rows >= j still zero, so the matvec needs no masking).
-    All indexing is via iota masks — Mosaic has no dynamic_slice on values.
+    key throughput trick.  Each step is the rank-1 right-looking elimination
+    for L's column j; all indexing is via iota masks — Mosaic has no
+    dynamic_slice on values, and (BS,1,1) layouts are unsupported, so the
+    pivot is replicated across a row by a ones-matmul.
+
+    The factor INVERSE is NOT accumulated in the loop (that recurrence was
+    ~40% of the sequential cost); it comes from the closed-form nilpotent
+    product afterwards:  L = D(I - N) with N strictly lower =>
+    inv(L) = [prod_k (I + N^{2^k})] inv(D)  — log2(NB)=7 squarings + 7
+    multiplies, all batched MXU matmuls (exact by nilpotency; f32 rounding
+    only perturbs the preconditioner, which PCG absorbs).
     """
     bs, q, _ = blk.shape
     dt = blk.dtype
     rows = jax.lax.broadcasted_iota(jnp.int32, (1, q, q), 1)
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, q, q), 2)
     rows_c = jax.lax.broadcasted_iota(jnp.int32, (1, q, 1), 1)
-    cols_r = jax.lax.broadcasted_iota(jnp.int32, (1, 1, q), 2)
     tiny = jnp.asarray(jnp.finfo(dt).tiny, dt)
     zero = jnp.zeros((), dt)
     ones = jnp.ones_like(blk)
 
     def body(j, carry):
-        a, L, W = carry
-        # Mosaic cannot lay out (BS,1,1) arrays, so the pivot is replicated
-        # across a row by a ones-matmul instead of reduced to a scalar.
+        a, L = carry
         d_row = jnp.sum(jnp.where((rows == j) & (cols == j), a, zero),
                         axis=1, keepdims=True)                   # (BS,1,q)
         ajj_row = jax.lax.dot_general(
             d_row, ones, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=dt, precision=_HP)            # replicated
-        inv_piv_row = jax.lax.rsqrt(jnp.maximum(ajj_row, tiny))  # (BS,1,q)
-        inv_piv_col = jnp.swapaxes(inv_piv_row, 1, 2)            # (BS,q,1)
+        inv_piv_col = jnp.swapaxes(
+            jax.lax.rsqrt(jnp.maximum(ajj_row, tiny)), 1, 2)     # (BS,q,1)
         col = jnp.sum(jnp.where(cols == j, a, zero), axis=2,
                       keepdims=True)                              # (BS,q,1)
         l = jnp.where(rows_c >= j, col * inv_piv_col, zero)
         a = a - l * jnp.swapaxes(l, 1, 2)                         # rank-1
         L = jnp.where(cols == j, l, L)
-        lrow = jnp.sum(jnp.where(rows == j, L, zero), axis=1,
-                       keepdims=True)                             # (BS,1,q)
-        ej = (cols_r == j).astype(dt)
-        wrow = (ej - jax.lax.dot_general(
-            lrow, W, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=dt, precision=_HP)) * inv_piv_row
-        # the dot includes L[j,j]*W[j,:], but W[j,:] is still zero — exact.
-        W = jnp.where(rows == j, wrow, W)
-        return a, L, W
+        return a, L
 
-    zeros = jnp.zeros_like(blk)
-    _, L, W = jax.lax.fori_loop(0, q, body, (blk, zeros, zeros))
+    _, L = jax.lax.fori_loop(0, q, body, (blk, jnp.zeros_like(blk)))
+
+    # --- inv(L) via the nilpotent log-squaring product (MXU) ---------------
+    eye = (rows == cols).astype(dt)
+    dvec = jnp.sum(jnp.where(rows == cols, L, zero), axis=2,
+                   keepdims=True)                                 # (BS,q,1)
+    inv_d = 1.0 / jnp.maximum(dvec, tiny)
+    N = eye - L * inv_d          # strictly lower: row-scale by inv(D)
+    # careful: inv(D) L scales ROWS: (inv_d)_i * L[i,:]
+    W = eye + N
+    P = N
+    steps = max(1, (q - 1).bit_length() - 1)   # log2(q) - 1 factors after I+N
+    for _ in range(steps):
+        P = jax.lax.dot_general(P, P, (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=dt, precision=_HP)
+        W = W + jax.lax.dot_general(
+            W, P, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=dt, precision=_HP)
+    W = W * jnp.swapaxes(inv_d, 1, 2)    # column-scale by inv(D)
     return L, W
 
 
@@ -170,8 +182,9 @@ def _cholesky_panel_kernel(m_hbm, l_hbm, w_hbm, S, T, w_s, sems,
 
 
 def _sub_batch_size(B: int, m: int) -> int:
-    """Largest divisor of B with two (BS, m, NB) stripes under ~10MB VMEM."""
-    cap = max(1, (10 << 20) // (2 * m * NB * 4))
+    """Largest divisor of B with two (BS, m, NB) stripes under ~7MB VMEM
+    (the diag-factor + nilpotent-inversion temporaries need the rest)."""
+    cap = max(1, (7 << 20) // (2 * m * NB * 4))
     bs = 1
     for d in range(1, min(B, cap) + 1):
         if B % d == 0:
