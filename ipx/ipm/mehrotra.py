@@ -241,11 +241,34 @@ def mehrotra_step(lp: LP, state: IPMState, opts: SolverOptions,
         finite, state.reg_boost,
         jnp.minimum(state.reg_boost * jnp.asarray(opts.reg_boost_step, dtype),
                     boost_cap))
+    # Divergence-based infeasibility certificates (heuristic, the standard
+    # practical IPM tests; the reference class has none at all, SURVEY.md
+    # §2.1 R11).  Primal infeasible: the dual iterate diverges along a
+    # Farkas ray (y huge, b@y > 0, A^T y + s = c + rd stays bounded — i.e.
+    # rd_rel small).  Dual infeasible / primal unbounded: x diverges along
+    # a recession ray (x huge, c@x strongly negative, Ax - b bounded).
+    thresh = jnp.asarray(opts.infeas_diverge_thresh, dtype)
+    ctol = jnp.asarray(1e-4, dtype)
+    ynorm = inf_norm(y_new)
+    xnorm = inf_norm(x_new)
+    by = jnp.vdot(lp.b, y_new)
+    cx = jnp.vdot(lp.c, x_new)
+    one_b = one + inf_norm(lp.b)
+    one_c = one + inf_norm(lp.c)
+    # Certificates are statements about the normalized RAY (y/|y|, x/|x|),
+    # so residuals must be scaled by the diverging iterate's norm, not by
+    # the fixed problem-data denominator inside rd_rel/rp_rel.
+    primal_infeas = ((ynorm > thresh) & (by > ctol * ynorm * one_b)
+                     & (rd_rel * one_c <= ctol * ynorm))
+    dual_infeas = ((xnorm > thresh) & (cx < -ctol * xnorm * one_c)
+                   & (rp_rel * one_b <= ctol * xnorm))
     status = jnp.where(
         exhausted, jnp.int32(Status.NUMERICAL_FAILURE),
         jnp.where(finite & converged, jnp.int32(Status.OPTIMAL),
+        jnp.where(finite & primal_infeas, jnp.int32(Status.PRIMAL_INFEASIBLE),
+        jnp.where(finite & dual_infeas, jnp.int32(Status.DUAL_INFEASIBLE),
                   jnp.where(finite & stalled, jnp.int32(Status.STALLED),
-                            jnp.int32(Status.RUNNING))))
+                            jnp.int32(Status.RUNNING))))))
 
     # On numerical failure keep the last good iterate.
     keep = finite

@@ -59,6 +59,9 @@ class SolverOptions:
     # before retrying — f32 endgame recovery (see mehrotra.py).
     reg_boost_step: float = 1e3
     reg_boost_cap: float = 1e9
+    # Iterate-divergence threshold for the heuristic Farkas certificates
+    # (PRIMAL_INFEASIBLE / DUAL_INFEASIBLE statuses).
+    infeas_diverge_thresh: float = 1e7
     # Project each search direction onto {A dx = -rp} via the loop-invariant
     # AA^T factor — pins primal feasibility at mu-independent f32 accuracy.
     project_feasibility: bool = True

@@ -1,0 +1,45 @@
+"""Heuristic infeasibility/unboundedness certificates (SURVEY.md §2.1 R11:
+the reference class has no detection; these divergence-based Farkas tests
+are new capability)."""
+import numpy as np
+
+import ipx
+from ipx.status import Status
+
+
+def test_primal_infeasible_detected():
+    # x1 = 1 and x1 = 2 simultaneously, x >= 0: infeasible
+    A = np.array([[1.0], [1.0]])
+    b = np.array([1.0, 2.0])
+    c = np.array([1.0])
+    sol = ipx.solve(c, A, b, options=ipx.SolverOptions(dtype="float32"))
+    assert sol.status in (int(Status.PRIMAL_INFEASIBLE),
+                          int(Status.NUMERICAL_FAILURE),
+                          int(Status.STALLED))
+    # the point of the certificate: not reported OPTIMAL
+    assert not sol.optimal
+
+
+def test_primal_infeasible_certificate_status():
+    # cleanly infeasible with room for the dual ray: x1 + x2 = -1, x >= 0
+    A = np.array([[1.0, 1.0]])
+    b = np.array([-1.0])
+    c = np.array([1.0, 1.0])
+    sol = ipx.solve(c, A, b, options=ipx.SolverOptions(dtype="float32"))
+    assert sol.status == int(Status.PRIMAL_INFEASIBLE), sol.status_name
+
+
+def test_dual_infeasible_detected():
+    # min -x1  s.t.  x1 - x2 = 0, x >= 0: unbounded ray (t, t)
+    A = np.array([[1.0, -1.0]])
+    b = np.array([0.0])
+    c = np.array([-1.0, 0.0])
+    sol = ipx.solve(c, A, b, options=ipx.SolverOptions(dtype="float32"))
+    assert sol.status == int(Status.DUAL_INFEASIBLE), sol.status_name
+
+
+def test_general_pipeline_infeasible():
+    glp = ipx.GeneralLP(c=np.array([1.0]),
+                        A_eq=np.array([[0.0]]), b_eq=np.array([3.0]))
+    sol = ipx.solve_general(glp)
+    assert sol.status == int(Status.PRIMAL_INFEASIBLE)

@@ -242,3 +242,75 @@ ENDATA
     sol = ipx.solve_general(glp, ipx.SolverOptions(dtype="float64"))
     assert sol.optimal
     assert abs(sol.objective - 15.0) <= 1e-5
+
+
+# ---------------------------------------------------------------------------
+# native C++ parser agrees with the pure-Python parser
+# ---------------------------------------------------------------------------
+
+def _random_mps(seed: int) -> str:
+    rng = np.random.default_rng(seed)
+    n, m = 8, 6
+    lines = ["NAME RAND%d" % seed, "ROWS", " N  obj"]
+    types = rng.choice(["L", "G", "E"], m)
+    for i, t in enumerate(types):
+        lines.append(f" {t}  r{i}")
+    lines.append("COLUMNS")
+    for j in range(n):
+        lines.append(f"    x{j}  obj  {rng.normal():.6f}")
+        for i in rng.choice(m, 3, replace=False):
+            lines.append(f"    x{j}  r{i}  {rng.normal():.6f}")
+    lines.append("RHS")
+    for i in range(m):
+        lines.append(f"    RHS  r{i}  {rng.normal():.6f}")
+    lines.append("RANGES")
+    lines.append(f"    RNG  r0  {abs(rng.normal()):.6f}")
+    lines.append("BOUNDS")
+    lines.append(" UP BND  x0  5.0")
+    lines.append(" LO BND  x1  -2.0")
+    lines.append(" FX BND  x2  1.5")
+    lines.append(" FR BND  x3")
+    lines.append(" MI BND  x4")
+    lines.append(" UP BND  x5  -1.0")   # netlib negative-UP convention
+    lines.append("ENDATA")
+    return "\n".join(lines)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_native_parser_matches_python(seed):
+    from ipx import native as native_mod
+    if native_mod.load_mps_lib() is None:
+        pytest.skip("no C++ toolchain")
+    txt = _random_mps(seed)
+    a = read_mps_string(txt, use_native=False)
+    b = read_mps_string(txt, use_native=True)
+    np.testing.assert_allclose(a.c, b.c)
+    np.testing.assert_allclose(a.A_ub, b.A_ub)
+    np.testing.assert_allclose(a.b_ub, b.b_ub)
+    np.testing.assert_allclose(a.A_eq, b.A_eq)
+    np.testing.assert_allclose(a.b_eq, b.b_eq)
+    np.testing.assert_allclose(a.lb, b.lb)
+    np.testing.assert_allclose(a.ub, b.ub)
+    assert a.name == b.name
+
+
+def test_native_parser_simple_mps():
+    from ipx import native as native_mod
+    if native_mod.load_mps_lib() is None:
+        pytest.skip("no C++ toolchain")
+    a = read_mps_string(SIMPLE_MPS, use_native=False)
+    b = read_mps_string(SIMPLE_MPS, use_native=True)
+    np.testing.assert_allclose(a.c, b.c)
+    np.testing.assert_allclose(a.A_ub, b.A_ub)
+    np.testing.assert_allclose(a.A_eq, b.A_eq)
+    np.testing.assert_allclose(a.lb, b.lb)
+    np.testing.assert_allclose(a.ub, b.ub)
+
+
+def test_native_parser_rejects_integers():
+    from ipx import native as native_mod
+    if native_mod.load_mps_lib() is None:
+        pytest.skip("no C++ toolchain")
+    txt = "NAME I\nROWS\n N obj\nCOLUMNS\n    M1 'MARKER' 'INTORG'\n    x obj 1.0\nENDATA\n"
+    with pytest.raises(MPSError):
+        read_mps_string(txt, use_native=True)
