@@ -317,32 +317,80 @@ def solve_triangular_batched(L: jax.Array, W: jax.Array, b: jax.Array,
     return x[..., 0]
 
 
-def _solve_pair_kernel(l_ref, w_ref, b_ref, x_ref, yv, *, m: int):
-    """Fused L y = b; L^T x = y for one instance — ONE L stream per apply.
+def _bmv2(a, v):
+    """Batched matrix @ vector with 2D vectors: (BC, p, q) x (BC, q) ->
+    (BC, p) — keeps all vector buffers 2D (Mosaic cannot slice the padded
+    last dim of (BC, m, 1) layouts)."""
+    return jax.lax.dot_general(a, v, (((2,), (1,)), ((0,), (0,))),
+                               preferred_element_type=jnp.float32,
+                               precision=_HP)
 
-    The forward result lives in the yv scratch; both sweeps read the same
-    VMEM-resident L block, so the preconditioner application costs one HBM
-    stream of L instead of two."""
+
+def _solve_pair_kernel(l_hbm, lt_hbm, w_hbm, b_hbm, x_hbm, S, Wb, bv, yv, xv,
+                       sems, *, m: int, B: int, BC: int):
+    """Fused L y = b; L^T x = y for ALL instances — batched block steps.
+
+    Per sub-chunk of BC instances: the rhs and both solution vectors live in
+    VMEM; each of the 2*nblk block steps DMAs one fixed-width (BC, NB, m)
+    stripe (rows of L forward, rows of L^T backward — Mosaic's batched-dot
+    rule requires contracting on the LAST dim, hence the pre-transposed
+    lt_hbm operand) and applies a BATCHED MXU dot across the chunk — the
+    per-instance serial kernel this replaces underused the VPU/MXU by BCx.
+    Triangular structure comes from iota masks on the full-width stripes.
+    """
     nblk = m // NB
-    for k in range(nblk):
-        o = k * NB
-        r = b_ref[0, o:o + NB, :]
-        if o > 0:
-            r = r - jnp.dot(l_ref[0, o:o + NB, :o], yv[:o, :],
-                            preferred_element_type=jnp.float32, precision=_HP)
-        yv[o:o + NB, :] = jnp.dot(w_ref[0, k], r,
-                                  preferred_element_type=jnp.float32,
-                                  precision=_HP)
-    for k in range(nblk - 1, -1, -1):
-        o = k * NB
-        r = yv[o:o + NB, :]
-        if o + NB < m:
-            r = r - jnp.dot(jnp.transpose(l_ref[0, o + NB:, o:o + NB]),
-                            x_ref[0, o + NB:, :],
-                            preferred_element_type=jnp.float32, precision=_HP)
-        x_ref[0, o:o + NB, :] = jnp.dot(jnp.transpose(w_ref[0, k]), r,
-                                        preferred_element_type=jnp.float32,
-                                        precision=_HP)
+    cols_r = jax.lax.broadcasted_iota(jnp.int32, (1, 1, m), 2)
+    for c in range(B // BC):
+        b0 = c * BC
+        ld_b = pltpu.make_async_copy(b_hbm.at[b0:b0 + BC], bv, sems.at[2])
+        ld_b.start()
+        # zero-init: the masked stripe dots contract over the FULL vector,
+        # and 0 * uninitialized-NaN = NaN
+        yv[:] = jnp.zeros((BC, m), jnp.float32)
+        xv[:] = jnp.zeros((BC, m), jnp.float32)
+        ld_b.wait()
+        # forward: L y = b
+        for k in range(nblk):
+            o = k * NB
+            ld_s = pltpu.make_async_copy(
+                l_hbm.at[b0:b0 + BC, o:o + NB, :], S, sems.at[0])
+            ld_w = pltpu.make_async_copy(
+                w_hbm.at[b0:b0 + BC, k], Wb, sems.at[1])
+            ld_s.start()
+            ld_w.start()
+            ld_s.wait()
+            ld_w.wait()
+            masked = jnp.where(cols_r < o, S[:], 0.0)     # (BC, NB, m)
+            r = bv[:, o:o + NB] - _bmv2(masked, yv[:])
+            yv[:, o:o + NB] = _bmv2(Wb[:], r)
+        # backward: L^T x = y, via row stripes of the pre-transposed factor
+        for k in range(nblk - 1, -1, -1):
+            o = k * NB
+            ld_s = pltpu.make_async_copy(
+                lt_hbm.at[b0:b0 + BC, o:o + NB, :], S, sems.at[0])
+            ld_w = pltpu.make_async_copy(
+                w_hbm.at[b0:b0 + BC, k], Wb, sems.at[1])
+            ld_s.start()
+            ld_w.start()
+            ld_s.wait()
+            ld_w.wait()
+            masked = jnp.where(cols_r >= o + NB, S[:], 0.0)   # (BC, NB, m)
+            r = yv[:, o:o + NB] - _bmv2(masked, xv[:])
+            WbT = jnp.swapaxes(Wb[:], 1, 2)
+            xv[:, o:o + NB] = _bmv2(WbT, r)                # W^T r
+        st_x = pltpu.make_async_copy(xv, x_hbm.at[b0:b0 + BC], sems.at[2])
+        st_x.start()
+        st_x.wait()
+
+
+def _solve_chunk(B: int, m: int) -> int:
+    """Largest divisor of B with the (BC, NB, m) stripe under ~8MB VMEM."""
+    cap = max(1, (8 << 20) // (NB * m * 4))
+    bc = 1
+    for d in range(1, min(B, cap) + 1):
+        if B % d == 0:
+            bc = d
+    return bc
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -350,26 +398,25 @@ def _chol_solve_pair_impl(L, W, b, interpret: bool | None = None):
     if interpret is None:
         interpret = _interpret()
     B, m, _ = L.shape
-    nblk = m // NB
-    kernel = functools.partial(_solve_pair_kernel, m=m)
-    x = pl.pallas_call(
+    BC = _solve_chunk(B, m)
+    LT = jnp.swapaxes(L, 1, 2)
+    kernel = functools.partial(_solve_pair_kernel, m=m, B=B, BC=BC)
+    return pl.pallas_call(
         kernel,
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, m, m), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nblk, NB, NB), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m, 1), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((B, m), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((BC, NB, m), jnp.float32),    # S: stripe (both sweeps)
+            pltpu.VMEM((BC, NB, NB), jnp.float32),   # Wb: diag-block inverses
+            pltpu.VMEM((BC, m), jnp.float32),        # bv: rhs
+            pltpu.VMEM((BC, m), jnp.float32),        # yv: forward result
+            pltpu.VMEM((BC, m), jnp.float32),        # xv: final result
+            pltpu.SemaphoreType.DMA((3,)),
         ],
-        out_specs=pl.BlockSpec((1, m, 1), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, m, 1), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((m, 1), jnp.float32)],
         interpret=interpret,
-    )(L, W, b[..., None].astype(jnp.float32))
-    return x[..., 0]
+    )(L, LT, W, b.astype(jnp.float32))
 
 
 @jax.custom_batching.custom_vmap
