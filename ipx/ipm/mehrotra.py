@@ -183,6 +183,35 @@ def mehrotra_step(lp: LP, state: IPMState, opts: SolverOptions,
                            opts.kkt_refine_steps,
                            project=opts.project_feasibility)
 
+    # --- Gondzio multiple centrality correctors (optional) -------------------
+    # Each corrector reuses the factorization: push the trial point's
+    # outlier complementarity products x_j s_j back toward the central path
+    # [beta_min*mu, beta_max*mu], accept the corrected direction only where
+    # it lengthens the step (per-instance select — vmap-safe).  Production
+    # IPM feature absent from the reference class; typically saves 20-40%
+    # of iterations at one extra solve each (Gondzio 1996).
+    for _ in range(opts.gondzio_correctors):
+        a_p = jnp.minimum(one, max_step(x, dx))
+        a_d = jnp.minimum(one, max_step(s, ds))
+        a_pt = jnp.minimum(one, a_p + jnp.asarray(0.1, dtype))
+        a_dt = jnp.minimum(one, a_d + jnp.asarray(0.1, dtype))
+        x_t = x + a_pt * dx
+        s_t = s + a_dt * ds
+        v = x_t * s_t
+        mu_t = jnp.vdot(x_t, s_t) / n
+        lo = jnp.asarray(0.1, dtype) * mu_t
+        hi = jnp.asarray(10.0, dtype) * mu_t
+        r_xs = v - jnp.clip(v, lo, hi)       # nonzero only for outliers
+        ddx, ddy, dds = newton_direction(
+            jnp.zeros_like(rp), jnp.zeros_like(rd), r_xs)
+        dx_c, dy_c, ds_c = dx + ddx, dy + ddy, ds + dds
+        a_p_c = jnp.minimum(one, max_step(x, dx_c))
+        a_d_c = jnp.minimum(one, max_step(s, ds_c))
+        better_c = (a_p_c + a_d_c) > (a_p + a_d)
+        dx = jnp.where(better_c, dx_c, dx)
+        dy = jnp.where(better_c, dy_c, dy)
+        ds = jnp.where(better_c, ds_c, ds)
+
     # --- damped steps (R9) ----------------------------------------------------
     if opts.adaptive_damping:
         eta = jnp.clip(one - mu, opts.damping_floor, opts.alpha_damping)

@@ -29,6 +29,13 @@ class SolverOptions:
     adaptive_damping: bool = True   # eta = max(damping_floor, 1 - mu)
     damping_floor: float = 0.995
     sigma_power: float = 3.0        # sigma = (mu_aff / mu) ** sigma_power
+    # Gondzio multiple centrality correctors per iteration (0 = off).  Each
+    # reuses the factorization (one extra solve) and is accepted only where
+    # it lengthens the step.  Measured: f64 suite -18% total iterations at
+    # gondzio_correctors=2; in f32 the UNREFINED correction degrades the
+    # refined+projected direction quality and HURTS — leave off for f32
+    # until the correction is itself refined (roadmap).
+    gondzio_correctors: int = 0
 
     # --- numerics on TPU (f32 world; SURVEY.md §7 hard part 1) -------------
     dtype: str = "float32"      # compute dtype: "float32" | "float64" (CPU only)
