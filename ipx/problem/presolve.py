@@ -187,6 +187,37 @@ def presolve(c: np.ndarray, A: np.ndarray, b: np.ndarray,
     b_sc = br * r
     c_sc = cr * s
 
+    # --- dependent-row elimination (rank-revealing QR on the equilibrated
+    # matrix).  Netlib-class LPs routinely carry linearly dependent rows,
+    # which make A A^T exactly singular and break the normal-equations IPM;
+    # exact-duplicate removal above does not catch general combinations.
+    # Dropped rows must be CONSISTENT (b in the row space) or the problem
+    # is infeasible.  Dual postsolve reports y = 0 on dropped rows (a valid
+    # dual completion for a consistent dependent row).
+    if status == "ok" and A_sc.shape[0] > 1 and A_sc.size:
+        from scipy.linalg import qr as _qr
+        _, R, piv = _qr(A_sc.T, mode="economic", pivoting=True)
+        diag = np.abs(np.diag(R))
+        if diag.size:
+            tol_r = max(A_sc.shape) * np.finfo(float).eps * diag[0]
+            rank = int((diag > tol_r).sum())
+        else:
+            rank = 0
+        if rank < A_sc.shape[0]:
+            keep_i = np.sort(piv[:rank])
+            drop_i = np.sort(piv[rank:])
+            Wc, *_ = np.linalg.lstsq(A_sc[keep_i].T, A_sc[drop_i].T,
+                                     rcond=None)
+            b_pred = Wc.T @ b_sc[keep_i]
+            bscale = 1.0 + np.abs(b_sc).max(initial=0.0)
+            if np.abs(b_pred - b_sc[drop_i]).max(initial=0.0) > 1e-7 * bscale:
+                status = "infeasible"
+            else:
+                A_sc = A_sc[keep_i]
+                b_sc = b_sc[keep_i]
+                r = r[keep_i]
+                kept_rows = kept_rows[keep_i]
+
     return PresolveResult(
         c=c_sc, A=A_sc, b=b_sc, obj_offset=obj_offset,
         row_scale=r, col_scale=s,

@@ -314,3 +314,55 @@ def test_native_parser_rejects_integers():
     txt = "NAME I\nROWS\n N obj\nCOLUMNS\n    M1 'MARKER' 'INTORG'\n    x obj 1.0\nENDATA\n"
     with pytest.raises(MPSError):
         read_mps_string(txt, use_native=True)
+
+
+# ---------------------------------------------------------------------------
+# dependent-row elimination (rank-revealing QR)
+# ---------------------------------------------------------------------------
+
+def test_presolve_removes_dependent_rows():
+    rng = np.random.default_rng(0)
+    m, n = 30, 60
+    A = rng.standard_normal((m, n))
+    for k in range(3):
+        w = rng.standard_normal(m - 3)
+        A[m - 1 - k] = w @ A[:m - 3]
+    x0 = np.abs(rng.standard_normal(n))
+    b = A @ x0
+    c = np.abs(rng.standard_normal(n)) + 0.1
+    p = presolve(c, A, b)
+    assert p.status == "ok"
+    assert p.A.shape[0] == m - 3
+    # the reduced system still solves to the original optimum
+    ref = linprog(c, A_eq=A, b_eq=b, method="highs")
+    red = linprog(p.c, A_eq=p.A, b_eq=p.b, method="highs")
+    x = p.postsolve_x(red.x)
+    assert abs(c @ x - ref.fun) <= 1e-7 * (1 + abs(ref.fun))
+
+
+def test_presolve_dependent_rows_inconsistent():
+    rng = np.random.default_rng(1)
+    A = rng.standard_normal((4, 8))
+    A[3] = A[0] + A[1]
+    x0 = np.abs(rng.standard_normal(8))
+    b = A @ x0
+    b[3] += 1.0   # break consistency
+    p = presolve(np.ones(8), A, b)
+    assert p.status == "infeasible"
+
+
+@pytest.mark.parametrize("dtype", ["float64", "float32"])
+def test_rank_deficient_via_general_pipeline(dtype):
+    """End-to-end: dependent equality rows through solve_general."""
+    rng = np.random.default_rng(2)
+    m, n = 20, 40
+    A = rng.standard_normal((m, n))
+    A[m - 1] = A[0] - 2 * A[1]
+    x0 = np.abs(rng.standard_normal(n)) + 0.1
+    b = A @ x0
+    c = np.abs(rng.standard_normal(n)) + 0.1
+    glp = ipx.GeneralLP(c=c, A_eq=A, b_eq=b)
+    ref = linprog(c, A_eq=A, b_eq=b, method="highs")
+    sol = ipx.solve_general(glp, ipx.SolverOptions(dtype=dtype))
+    assert sol.optimal, sol.status_name
+    assert abs(sol.objective - ref.fun) <= 2e-6 * (1 + abs(ref.fun))
