@@ -183,6 +183,12 @@ def presolve(c: np.ndarray, A: np.ndarray, b: np.ndarray,
         s = np.ones(Ar.shape[1])
 
     # scaled problem:  min (s*c) @ z  s.t.  (R A S) z = R b,  x = S z
+    # (Known limitation: Ruiz equilibrates A's entries but extreme MIXED
+    # column scales (1e5 vs 1e-5 within one problem) can still leave the
+    # LP's vertex geometry ill-conditioned for the IPM — augmented
+    # [[A,b],[c,0]] equilibration was tried and measurably REGRESSED the
+    # netlib-style suite, so it was reverted; a per-column cost-aware
+    # scaling is on the roadmap.)
     A_sc = (Ar * r[:, None]) * s[None, :]
     b_sc = br * r
     c_sc = cr * s
