@@ -101,11 +101,17 @@ def _state_to_solution(lp: LP, st, obj_offset: float = 0.0) -> Solution:
 
 def solve(c, A=None, b=None, options: Optional[SolverOptions] = None,
           resume_from: Optional[str] = None,
-          checkpoint_to: Optional[str] = None) -> Solution:
+          checkpoint_to: Optional[str] = None,
+          presolve: bool = False) -> Solution:
     """Solve one standard-form LP ``min c@x s.t. A@x=b, x>=0`` on device.
 
     Accepts either ``solve(lp_obj)`` with an :class:`LP` or
     ``solve(c, A, b)`` with array-likes.
+
+    ``presolve=True`` routes through the host-side presolve (reductions,
+    dependent-row elimination, Ruiz equilibration) and postsolves back —
+    recommended for raw real-world data; the default False keeps the pure
+    device path for already-clean inputs.
 
     ``resume_from`` warm-starts from an ``ipx.obs.save_state`` snapshot;
     ``checkpoint_to`` writes the final state there (chunked solving: cap
@@ -114,6 +120,8 @@ def solve(c, A=None, b=None, options: Optional[SolverOptions] = None,
     from ipx import obs
 
     opts = options or DEFAULT_OPTIONS
+    if presolve and resume_from is None and checkpoint_to is None:
+        return _solve_presolved(c, A, b, opts)
     if isinstance(c, LP):
         lp = c
     else:
@@ -127,6 +135,58 @@ def solve(c, A=None, b=None, options: Optional[SolverOptions] = None,
     if checkpoint_to is not None:
         obs.save_state(checkpoint_to, st)
     return _state_to_solution(lp, st)
+
+
+def _solve_presolved(c, A, b, opts: SolverOptions) -> Solution:
+    """Standard-form solve through presolve + postsolve (host reductions,
+    dependent-row elimination, Ruiz scaling)."""
+    from ipx.problem.presolve import presolve as _presolve
+    from ipx.status import Status as St
+
+    if isinstance(c, LP):
+        lp_in = c
+        c, A, b = (np.asarray(lp_in.c, np.float64),
+                   np.asarray(lp_in.A, np.float64),
+                   np.asarray(lp_in.b, np.float64))
+    else:
+        c = np.asarray(c, np.float64)
+        A = np.asarray(A, np.float64)
+        b = np.asarray(b, np.float64)
+    pres = _presolve(c, A, b)
+
+    def _empty(status: int) -> Solution:
+        x = np.zeros(A.shape[1])
+        x[pres.fixed_mask] = pres.fixed_vals[pres.fixed_mask]
+        obj = float(c @ x)
+        return Solution(x=x, y=np.zeros(A.shape[0]), s=np.zeros(A.shape[1]),
+                        objective=obj, dual_objective=obj, status=status,
+                        iterations=0, rel_gap=np.inf, rp_rel=np.inf,
+                        rd_rel=np.inf, trace=np.zeros((0, 8)))
+
+    if pres.status == "infeasible":
+        return _empty(int(St.PRIMAL_INFEASIBLE))
+    if pres.status == "unbounded":
+        return _empty(int(St.DUAL_INFEASIBLE))
+    if pres.A.size == 0 or pres.A.shape[0] == 0:
+        sol = _empty(int(St.OPTIMAL))
+        sol.rel_gap = sol.rp_rel = sol.rd_rel = 0.0
+        return sol
+
+    lp = make_lp(pres.c, pres.A, pres.b).astype(dtype_of(opts.dtype))
+    st = _run_single(lp, opts)
+    red = _state_to_solution(lp, st)
+    x = pres.postsolve_x(red.x)
+    y = pres.postsolve_y(red.y)
+    s = c - A.T @ y
+    pobj = float(c @ x)
+    rp_rel = float(np.abs(A @ x - b).max(initial=0.0)
+                   / (1 + np.abs(b).max(initial=0.0)))
+    rd_rel = float(np.maximum(-s, 0).max(initial=0.0)
+                   / (1 + np.abs(c).max(initial=0.0)))
+    return Solution(
+        x=x, y=y, s=s, objective=pobj, dual_objective=float(b @ y),
+        status=red.status, iterations=red.iterations, rel_gap=red.rel_gap,
+        rp_rel=rp_rel, rd_rel=rd_rel, trace=red.trace)
 
 
 def solve_general(glp, options: Optional[SolverOptions] = None) -> Solution:

@@ -366,3 +366,23 @@ def test_rank_deficient_via_general_pipeline(dtype):
     sol = ipx.solve_general(glp, ipx.SolverOptions(dtype=dtype))
     assert sol.optimal, sol.status_name
     assert abs(sol.objective - ref.fun) <= 2e-6 * (1 + abs(ref.fun))
+
+
+def test_solve_presolve_flag_rank_deficient():
+    """ipx.solve(..., presolve=True) survives dependent rows and bad scaling
+    that break the pure device path."""
+    rng = np.random.default_rng(3)
+    m, n = 25, 50
+    A = rng.standard_normal((m, n))
+    A[m - 1] = A[0] + 0.5 * A[1]
+    A *= 10.0 ** rng.uniform(-2, 2, size=(m, 1))
+    x0 = np.abs(rng.standard_normal(n)) + 0.1
+    b = A @ x0
+    c = np.abs(rng.standard_normal(n)) + 0.1
+    ref = linprog(c, A_eq=A, b_eq=b, method="highs")
+    sol = ipx.solve(c, A, b, options=ipx.SolverOptions(dtype="float32"),
+                    presolve=True)
+    assert sol.optimal, sol.status_name
+    assert abs(sol.objective - ref.fun) <= 2e-6 * (1 + abs(ref.fun))
+    # postsolved point is feasible in original units
+    assert np.abs(A @ sol.x - b).max() <= 1e-4 * (1 + np.abs(b).max())
