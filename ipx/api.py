@@ -102,7 +102,8 @@ def _state_to_solution(lp: LP, st, obj_offset: float = 0.0) -> Solution:
 def solve(c, A=None, b=None, options: Optional[SolverOptions] = None,
           resume_from: Optional[str] = None,
           checkpoint_to: Optional[str] = None,
-          presolve: bool = False) -> Solution:
+          presolve: bool = False,
+          warm_start=None) -> Solution:
     """Solve one standard-form LP ``min c@x s.t. A@x=b, x>=0`` on device.
 
     Accepts either ``solve(lp_obj)`` with an :class:`LP` or
@@ -116,6 +117,10 @@ def solve(c, A=None, b=None, options: Optional[SolverOptions] = None,
     ``resume_from`` warm-starts from an ``ipx.obs.save_state`` snapshot;
     ``checkpoint_to`` writes the final state there (chunked solving: cap
     ``max_iter``, checkpoint, resume — SURVEY.md §5.3/§5.4).
+
+    ``warm_start=(x, y, s)`` seeds from a previous RELATED solution
+    (parametric LP families): the point is re-centered off the bounds
+    before iterating (mehrotra.warm_start_state).
     """
     from ipx import obs
 
@@ -129,6 +134,10 @@ def solve(c, A=None, b=None, options: Optional[SolverOptions] = None,
     lp = lp.astype(dtype_of(opts.dtype))
     if resume_from is not None:
         state0 = obs.resume_state(obs.load_state(resume_from), opts.max_iter)
+        st = _run_single_resumed(lp, opts, state0)
+    elif warm_start is not None:
+        xw, yw, sw = warm_start
+        state0 = mehrotra.warm_start_state(lp, xw, yw, sw, opts)
         st = _run_single_resumed(lp, opts, state0)
     else:
         st = _run_single(lp, opts)

@@ -356,13 +356,35 @@ def finalize_status(state: IPMState, opts: SolverOptions) -> IPMState:
     return dataclasses.replace(state, status=status)
 
 
+def warm_start_state(lp: LP, x, y, s, opts: SolverOptions) -> IPMState:
+    """Build an initial state from a previous (related) solution.
+
+    A converged point is badly centered for a new IPM run (complementarity
+    products at 0); the standard remedy shifts both primal and slack
+    variables off their bounds by a mu-sized margin so the first iterations
+    re-center instead of stalling on zero ratio tests (warm-start recipe of
+    Gondzio & Grothey / Skajaa et al.)."""
+    dtype = lp.c.dtype
+    x = jnp.asarray(x, dtype)
+    y = jnp.asarray(y, dtype)
+    s = jnp.asarray(s, dtype)
+    mu_seed = jnp.maximum(jnp.vdot(x, s) / lp.n,
+                          jnp.asarray(opts.warm_start_mu, dtype))
+    shift = jnp.sqrt(mu_seed)
+    x = jnp.maximum(x, shift)
+    s = jnp.maximum(s, shift)
+    mu0 = jnp.vdot(x, s) / lp.n
+    return init_state(x, y, s, mu0, opts.max_iter)
+
+
 def run_single(lp: LP, opts: SolverOptions, state0: IPMState | None = None
                ) -> IPMState:
     """Full solve of one LP: starting point + while_loop. Jit-compatible.
 
-    ``state0`` resumes from a checkpoint (SURVEY.md §5.3/§5.4): the iterate
-    is the complete algorithm state, so a warm restart continues exactly;
-    only the loop-invariant AA^T factor is recomputed."""
+    ``state0`` resumes from a checkpoint (SURVEY.md §5.3/§5.4) or seeds a
+    warm start (see :func:`warm_start_state`): the iterate is the complete
+    algorithm state, so a warm restart continues exactly; only the
+    loop-invariant AA^T factor is recomputed."""
     x0, y0, s0, fac_aat = starting_point(lp, opts)
     if state0 is None:
         mu0 = jnp.vdot(x0, s0) / lp.n

@@ -60,8 +60,12 @@ def _factor_diag_blocks(blk):
     ~40% of the sequential cost); it comes from the closed-form nilpotent
     product afterwards:  L = D(I - N) with N strictly lower =>
     inv(L) = [prod_k (I + N^{2^k})] inv(D)  — log2(NB)=7 squarings + 7
-    multiplies, all batched MXU matmuls (exact by nilpotency; f32 rounding
-    only perturbs the preconditioner, which PCG absorbs).
+    multiplies, all batched MXU matmuls (exact by nilpotency).  CAUTION
+    (measured on the hybrid backend): for ill-conditioned endgame blocks the
+    large intermediate N-powers leak f32 rounding; the XLA-level hybrid path
+    therefore uses recursive trtri-style inversion instead
+    (ipx/linsys/normal_eq.py), and porting that into this kernel is on the
+    roadmap before chol_backend="pallas" becomes the default.
     """
     bs, q, _ = blk.shape
     dt = blk.dtype

@@ -69,6 +69,12 @@ class SolverOptions:
     # Iterate-divergence threshold for the heuristic Farkas certificates
     # (PRIMAL_INFEASIBLE / DUAL_INFEASIBLE statuses).
     infeas_diverge_thresh: float = 1e7
+    # Minimum duality measure a warm start is re-centered to (see
+    # mehrotra.warm_start_state).  Empirically 1e-5 was both fastest
+    # (-60% iterations on small-perturbation parametric chains) and most
+    # reliable (0/12 failures across seeds/perturbations); larger shifts
+    # discard warm information, 1e-4 specifically destabilized.
+    warm_start_mu: float = 1e-5
     # Project each search direction onto {A dx = -rp} via the loop-invariant
     # AA^T factor — pins primal feasibility at mu-independent f32 accuracy.
     project_feasibility: bool = True
