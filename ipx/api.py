@@ -7,7 +7,6 @@ from typing import Optional
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 from ipx.numerics import dtype_of
 from ipx.options import SolverOptions, DEFAULT_OPTIONS

@@ -14,8 +14,6 @@ import argparse
 import json
 import sys
 
-import numpy as np
-
 
 def _add_solver_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--platform", default=None,

@@ -15,8 +15,6 @@ Algorithm [evidence tier B — Mehrotra 1992; Nocedal & Wright ch. 14]:
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -24,7 +22,7 @@ from jax import lax
 from ipx.numerics import mv, inf_norm
 from ipx.options import SolverOptions
 from ipx.problem.lp import LP
-from ipx.ipm.state import IPMState, init_state, TRACE_COLS
+from ipx.ipm.state import IPMState, init_state
 from ipx.linsys import normal_eq
 from ipx.status import Status
 

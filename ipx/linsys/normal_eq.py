@@ -15,7 +15,6 @@ mitigation for the no-f64-on-TPU problem (SURVEY.md §7 hard part 1).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 
 import jax
 import jax.numpy as jnp

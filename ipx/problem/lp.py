@@ -9,7 +9,7 @@ SURVEY.md §2.1; conversion required by BASELINE.json config 2).
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import numpy as np

@@ -18,8 +18,7 @@ variable re-insertion) so solutions are reported in original units.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Optional
+from dataclasses import dataclass
 
 import numpy as np
 
