@@ -257,6 +257,20 @@ def mehrotra_step(lp: LP, state: IPMState, opts: SolverOptions,
     # mu floor: below this, f32 conditioning degrades instead of improving
     # (death-spiral guard).  Report STALLED; the best iterate is returned.
     stalled = mu_n < jnp.asarray(opts.mu_floor_rel, dtype) * state.mu0
+    # Windowed progress stall: degenerate endgames can hover at a fixed mu
+    # with near-zero steps (f32 normal-matrix rank collapse) — compare
+    # against mu from `stall_window` iterations ago (read from the trace
+    # buffer) and exit honestly instead of burning the iteration budget.
+    # Healthy Mehrotra shrinks mu by ~5-10x per iteration, so the 0.5x /
+    # window threshold never fires on a converging run.
+    K = opts.stall_window
+    if K > 0:
+        mu_old = lax.dynamic_slice(
+            state.trace, (jnp.maximum(state.it - K, 0), jnp.int32(0)),
+            (1, 1))[0, 0]
+        no_progress = ((state.it >= K)
+                       & (mu_n > jnp.asarray(0.5, dtype) * mu_old))
+        stalled = stalled | no_progress
     # Non-finite step (f32 PSD loss in the endgame): instead of aborting,
     # keep the previous iterate, escalate the Tikhonov regularization, and
     # keep RUNNING — the next factor uses reg * reg_boost.  Only when the

@@ -61,6 +61,9 @@ class SolverOptions:
     assembly_precision: str = "highest"
     pos_floor: float = 1e-30    # absolute floor keeping x, s > 0 in f32
     mu_floor_rel: float = 1e-12 # stop (STALLED) once mu < mu_floor_rel * mu0
+    stall_window: int = 10      # STALLED if mu has not halved in this many
+                                # iterations (degenerate f32 endgame hover;
+                                # 0 disables)
     # After a non-finite step the iteration keeps the previous iterate and
     # multiplies the Tikhonov reg by reg_boost_step (capped at reg_boost_cap)
     # before retrying — f32 endgame recovery (see mehrotra.py).
