@@ -110,6 +110,13 @@ def mehrotra_step(lp: LP, state: IPMState, opts: SolverOptions,
     rp, rd, mu, *_ = _scalars(lp, x, y, s, prec)
     mu_safe = jnp.maximum(mu, jnp.asarray(1e-30, dtype))
 
+    # The feasibility projection is a NORMAL-EQUATIONS pathology fix; the
+    # augmented system satisfies the primal row directly, and projecting
+    # through the AA^T factor re-injects the squared-conditioning noise the
+    # augmented route exists to avoid (measured: flips 3/4 degenerate
+    # instances from OPTIMAL to STALLED).
+    do_project = opts.project_feasibility and opts.linsys != "augmented"
+
     # --- factor A D^2 A^T once, reuse for both solves (R5, R6) -------------
     # d2 is deliberately NOT range-clipped: huge x/s entries (effectively
     # fixed duals) are tamed by the Jacobi scaling inside factor(), and
@@ -121,7 +128,12 @@ def mehrotra_step(lp: LP, state: IPMState, opts: SolverOptions,
 
     def newton_direction(e_p, e_d, e_xs):
         """Solve the Newton system  A dx = -e_p;  A^T dy + ds = -e_d;
-        S dx + X ds = -e_xs  via the normal equations."""
+        S dx + X ds = -e_xs  via the normal equations (or the augmented
+        system when opts.linsys == "augmented" — no condition squaring,
+        needed past the degenerate sqrt(eps) floor)."""
+        if opts.linsys == "augmented":
+            from ipx.linsys import augmented
+            return augmented.solve_newton(fac, A, x, s, e_p, e_d, e_xs, opts)
         rhs = -e_p - mv(A, d2 * e_d - e_xs / s, prec)
         dy = normal_eq.solve(fac, A, rhs, opts)
         ds = -e_d - mv(A.T, dy, prec)
@@ -166,7 +178,7 @@ def mehrotra_step(lp: LP, state: IPMState, opts: SolverOptions,
     # random instances.  Lighter predictor treatment stays available via
     # predictor_refine_steps for small/easy problem classes only.
     dx_a, dy_a, ds_a = kkt_solve(x * s, opts.predictor_refine_steps,
-                                 project=opts.project_feasibility)
+                                 project=do_project)
     one = jnp.ones((), dtype)
     ap_a = jnp.minimum(one, max_step(x, dx_a))
     ad_a = jnp.minimum(one, max_step(s, ds_a))
@@ -179,7 +191,7 @@ def mehrotra_step(lp: LP, state: IPMState, opts: SolverOptions,
     # --- corrector, factor reused (R10) --------------------------------------
     dx, dy, ds = kkt_solve(x * s + dx_a * ds_a - sigma * mu,
                            opts.kkt_refine_steps,
-                           project=opts.project_feasibility)
+                           project=do_project)
 
     # --- Gondzio multiple centrality correctors (optional) -------------------
     # Each corrector reuses the factorization: push the trial point's

@@ -77,6 +77,9 @@ def factor(A: jax.Array, d2: jax.Array, opts: SolverOptions,
     if opts.linsys == "sharded":
         from ipx.linsys import schur
         return schur.factor(A, d2, opts, reg_scale)
+    if opts.linsys == "augmented":
+        from ipx.linsys import augmented
+        return augmented.factor(A, d2, opts, reg_scale)
     M = assemble(A, d2, opts.assembly_precision)
     m = M.shape[-1]
     diag = jnp.diagonal(M)
@@ -184,6 +187,9 @@ def solve(fac: NormalEqFactor, A: jax.Array, rhs: jax.Array,
     if opts.linsys == "sharded":
         from ipx.linsys import schur
         return schur.solve(fac, A, rhs, opts)
+    if opts.linsys == "augmented":
+        from ipx.linsys import augmented
+        return augmented.normal_solve(fac, A, rhs, opts)
 
     prec = opts.matmul_precision
     dt = rhs.dtype

@@ -95,7 +95,13 @@ class SolverOptions:
     feas_eps_mult: float = 4.0
 
     # --- linear-system backend ---------------------------------------------
-    linsys: str = "dense"       # "dense" (single/vmap) | "sharded" (row-block)
+    linsys: str = "dense"       # "dense" (normal equations, single/vmap)
+                                # | "sharded" (row-block, config 4)
+                                # | "augmented" (quasi-definite KKT LU —
+                                #   robustness mode: no condition squaring,
+                                #   cracks the degenerate sqrt(eps) floor)
+    aug_reg: float = 1e-6       # primal/dual regularization of the
+                                # augmented matrix (linsys="augmented")
     chol_backend: str = "xla"   # "xla" (jnp.linalg.cholesky + XLA trsm)
                                 # | "pallas" (Mosaic factor + fused solves)
                                 # | "hybrid" (XLA potrf + Pallas fused solves)

@@ -42,3 +42,17 @@ def test_stall_window_does_not_fire_on_healthy_runs():
     g = random_feasible_lp(60, 120, seed=1)   # nondegenerate
     s = ipx.solve(g.c, g.A, g.b, options=ipx.SolverOptions(dtype="float32"))
     assert s.optimal
+
+
+def test_degenerate_f32_augmented_reaches_contract():
+    """linsys="augmented" (quasi-definite KKT LU, no condition squaring)
+    cracks the degenerate sqrt(eps) floor: the same instances that stall
+    the normal-equations route reach the 1e-6 contract in f32."""
+    for seed in range(4):
+        g = random_feasible_lp(40, 80, seed=seed, support=20)
+        s = ipx.solve(g.c, g.A, g.b,
+                      options=ipx.SolverOptions(dtype="float32",
+                                                linsys="augmented"))
+        assert s.optimal, (seed, s.status_name)
+        rel = abs(s.objective - g.obj_star) / (1 + abs(g.obj_star))
+        assert rel <= 2e-6, (seed, rel)
