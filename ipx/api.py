@@ -140,9 +140,34 @@ def solve(c, A=None, b=None, options: Optional[SolverOptions] = None,
         st = _run_single_resumed(lp, opts, state0)
     else:
         st = _run_single(lp, opts)
+        st = _maybe_augmented_fallback(lp, st, opts)
     if checkpoint_to is not None:
         obs.save_state(checkpoint_to, st)
     return _state_to_solution(lp, st)
+
+
+def _maybe_augmented_fallback(lp: LP, st, opts: SolverOptions):
+    """Retry a STALLED dense-route solve with the augmented system.
+
+    Stalls on the dense route are almost always the degenerate sqrt(eps)
+    conditioning floor (see ipx/linsys/augmented.py); the augmented KKT
+    system doesn't square the conditioning and routinely finishes the job.
+    Warm-started from the stalled best iterate.  Disable with
+    ``SolverOptions(augmented_fallback=False)``.
+    """
+    from ipx.status import Status as St
+
+    if not opts.augmented_fallback or opts.linsys != "dense":
+        return st
+    # Only genuine numerical stalls — a MAX_ITER exit is the user's
+    # iteration budget and must be respected.
+    if int(st.status) != int(St.STALLED):
+        return st
+    aug = opts.replace(linsys="augmented")
+    state0 = mehrotra.warm_start_state(lp, st.best_x, st.best_y, st.best_s,
+                                       aug)
+    st2 = _run_single_resumed(lp, aug, state0)
+    return st2 if int(st2.status) == int(St.OPTIMAL) else st
 
 
 def _solve_presolved(c, A, b, opts: SolverOptions) -> Solution:
@@ -182,6 +207,7 @@ def _solve_presolved(c, A, b, opts: SolverOptions) -> Solution:
 
     lp = make_lp(pres.c, pres.A, pres.b).astype(dtype_of(opts.dtype))
     st = _run_single(lp, opts)
+    st = _maybe_augmented_fallback(lp, st, opts)
     red = _state_to_solution(lp, st)
     x = pres.postsolve_x(red.x)
     y = pres.postsolve_y(red.y)
@@ -242,6 +268,7 @@ def solve_general(glp, options: Optional[SolverOptions] = None) -> Solution:
 
     lp = make_lp(pres.c, pres.A, pres.b).astype(dtype_of(opts.dtype))
     st = _run_single(lp, opts)
+    st = _maybe_augmented_fallback(lp, st, opts)
     red = _state_to_solution(lp, st)
 
     # postsolve: scaled-reduced z -> std-form z -> original x

@@ -102,6 +102,10 @@ class SolverOptions:
                                 #   cracks the degenerate sqrt(eps) floor)
     aug_reg: float = 1e-6       # primal/dual regularization of the
                                 # augmented matrix (linsys="augmented")
+    # When a dense-route single solve exits STALLED/MAX_ITER, retry once
+    # with the augmented system warm-started from the best iterate (the
+    # stall is usually the degenerate conditioning floor).
+    augmented_fallback: bool = True
     chol_backend: str = "xla"   # "xla" (jnp.linalg.cholesky + XLA trsm)
                                 # | "pallas" (Mosaic factor + fused solves)
                                 # | "hybrid" (XLA potrf + Pallas fused solves)

@@ -25,9 +25,22 @@ def test_degenerate_f64_optimal():
         assert rel <= 1e-7
 
 
-def test_degenerate_f32_honest_floor():
+def test_degenerate_f32_default_uses_fallback():
+    """Default pipeline: dense route stalls at the sqrt(eps) floor, the
+    automatic augmented-system retry (warm-started from the best iterate)
+    finishes to the contract."""
     g = random_feasible_lp(40, 80, seed=0, support=20)
     s = ipx.solve(g.c, g.A, g.b, options=ipx.SolverOptions(dtype="float32"))
+    assert s.optimal, s.status_name
+    rel = abs(s.objective - g.obj_star) / (1 + abs(g.obj_star))
+    assert rel <= 2e-6
+
+
+def test_degenerate_f32_honest_floor_without_fallback():
+    g = random_feasible_lp(40, 80, seed=0, support=20)
+    s = ipx.solve(g.c, g.A, g.b,
+                  options=ipx.SolverOptions(dtype="float32",
+                                            augmented_fallback=False))
     # must not claim optimality it didn't reach...
     assert s.status in (int(Status.STALLED), int(Status.MAX_ITER))
     # ...must exit early via stall detection rather than burn the budget...
