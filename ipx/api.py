@@ -167,7 +167,12 @@ def _maybe_augmented_fallback(lp: LP, st, opts: SolverOptions):
     state0 = mehrotra.warm_start_state(lp, st.best_x, st.best_y, st.best_s,
                                        aug)
     st2 = _run_single_resumed(lp, aug, state0)
-    return st2 if int(st2.status) == int(St.OPTIMAL) else st
+    if int(st2.status) == int(St.OPTIMAL):
+        return st2
+    # The warm seed can itself be too decentered (it came from a stalled
+    # run); a cold augmented solve is the reliable second stage.
+    st3 = _run_single(lp, aug)
+    return st3 if int(st3.status) == int(St.OPTIMAL) else st
 
 
 def _solve_presolved(c, A, b, opts: SolverOptions) -> Solution:

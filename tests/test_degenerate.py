@@ -69,3 +69,18 @@ def test_degenerate_f32_augmented_reaches_contract():
         assert s.optimal, (seed, s.status_name)
         rel = abs(s.objective - g.obj_star) / (1 + abs(g.obj_star))
         assert rel <= 2e-6, (seed, rel)
+
+
+def test_fuzz_structured_instances_default_api():
+    """Fuzz battery (degenerate supports, bad scaling, near-square) through
+    the default API — the two-stage augmented fallback covers all of it
+    (this battery was 7/30 before the augmented mode landed)."""
+    for seed in range(3):
+        for sup, spread in ((20, 0.0), (32, 0.0), (40, 0.0), (None, 2.0)):
+            g = random_feasible_lp(40, 80, seed=seed, support=sup,
+                                   scale_spread=spread)
+            s = ipx.solve(g.c, g.A, g.b,
+                          options=ipx.SolverOptions(dtype="float32"))
+            rel = abs(s.objective - g.obj_star) / (1 + abs(g.obj_star))
+            assert s.optimal and rel <= 5e-6, (seed, sup, spread,
+                                               s.status_name, rel)
