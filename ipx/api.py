@@ -363,5 +363,11 @@ def solve_batch(lps, options: Optional[SolverOptions] = None) -> list:
     for i in range(batch):
         lp_i = jax.tree_util.tree_map(lambda leaf: leaf[i], blp)
         st_i = jax.tree_util.tree_map(lambda leaf: leaf[i], st)
+        if (opts.augmented_fallback and opts.linsys == "dense"
+                and int(st_i.status) == int(Status.STALLED)):
+            # rescue stalled members individually (degenerate conditioning
+            # floor — see _maybe_augmented_fallback); the healthy bulk of
+            # the batch is untouched
+            st_i = _maybe_augmented_fallback(lp_i, st_i, opts)
         sols.append(_state_to_solution(lp_i, st_i))
     return sols

@@ -84,3 +84,19 @@ def test_fuzz_structured_instances_default_api():
             rel = abs(s.objective - g.obj_star) / (1 + abs(g.obj_star))
             assert s.optimal and rel <= 5e-6, (seed, sup, spread,
                                                s.status_name, rel)
+
+
+def test_batch_with_degenerate_member_rescued():
+    """A stalled (degenerate) member of a batch is rescued individually by
+    the augmented fallback; healthy members are untouched."""
+    from ipx.problem.lp import make_lp
+    healthy = random_feasible_lp(40, 80, seed=1)
+    degen = random_feasible_lp(40, 80, seed=0, support=20)
+    sols = ipx.solve_batch(
+        [make_lp(healthy.c, healthy.A, healthy.b),
+         make_lp(degen.c, degen.A, degen.b)],
+        options=ipx.SolverOptions(dtype="float32"))
+    for g, s in zip((healthy, degen), sols):
+        assert s.optimal, s.status_name
+        rel = abs(s.objective - g.obj_star) / (1 + abs(g.obj_star))
+        assert rel <= 5e-6
