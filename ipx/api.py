@@ -18,7 +18,15 @@ from ipx.status import Status, STATUS_NAMES
 
 @dataclass
 class Solution:
-    """Host-side solve result (original problem units)."""
+    """Host-side solve result (original problem units).
+
+    For :func:`solve_general` / :func:`solve_mps`: ``y`` holds the duals of
+    the original rows, equality duals first then inequality duals
+    (``m_eq + m_ub`` entries, scipy sign convention: <=-row marginals are
+    <= 0 at optimality of a minimize problem); ``s = c - A_eq^T y_eq -
+    A_ub^T y_ub`` are reduced costs over the original variables; for
+    maximize problems all duals are reported in maximize sense.
+    """
 
     x: np.ndarray
     y: np.ndarray
@@ -101,17 +109,20 @@ def _state_to_solution(lp: LP, st, obj_offset: float = 0.0) -> Solution:
 def solve(c, A=None, b=None, options: Optional[SolverOptions] = None,
           resume_from: Optional[str] = None,
           checkpoint_to: Optional[str] = None,
-          presolve: bool = False,
+          presolve: bool = True,
           warm_start=None) -> Solution:
     """Solve one standard-form LP ``min c@x s.t. A@x=b, x>=0`` on device.
 
     Accepts either ``solve(lp_obj)`` with an :class:`LP` or
     ``solve(c, A, b)`` with array-likes.
 
-    ``presolve=True`` routes through the host-side presolve (reductions,
-    dependent-row elimination, Ruiz equilibration) and postsolves back —
-    recommended for raw real-world data; the default False keeps the pure
-    device path for already-clean inputs.
+    ``presolve=True`` (the default, like scipy.optimize.linprog) routes
+    through the host-side presolve (reductions, dependent-row elimination,
+    Ruiz equilibration) and postsolves back — raw real-world data needs the
+    equilibration to reach 1e-6 in f32.  ``presolve=False`` keeps the pure
+    device path for already-clean inputs (no host-side O(m^2 n) work).
+    ``resume_from`` / ``checkpoint_to`` / ``warm_start`` always use the
+    device path (their state lives in solver units).
 
     ``resume_from`` warm-starts from an ``ipx.obs.save_state`` snapshot;
     ``checkpoint_to`` writes the final state there (chunked solving: cap
@@ -124,7 +135,8 @@ def solve(c, A=None, b=None, options: Optional[SolverOptions] = None,
     from ipx import obs
 
     opts = options or DEFAULT_OPTIONS
-    if presolve and resume_from is None and checkpoint_to is None:
+    if (presolve and resume_from is None and checkpoint_to is None
+            and warm_start is None):
         return _solve_presolved(c, A, b, opts)
     if isinstance(c, LP):
         lp = c
@@ -159,9 +171,12 @@ def _maybe_augmented_fallback(lp: LP, st, opts: SolverOptions):
 
     if not opts.augmented_fallback or opts.linsys != "dense":
         return st
-    # Only genuine numerical stalls — a MAX_ITER exit is the user's
-    # iteration budget and must be respected.
-    if int(st.status) != int(St.STALLED):
+    # Only genuine numerical breakdowns — a MAX_ITER exit is the user's
+    # iteration budget and must be respected.  NUMERICAL_FAILURE (NaN/non-
+    # finite factorization, typically badly scaled f32 data) is rescued the
+    # same way as STALLED: the augmented system does not square the
+    # conditioning.
+    if int(st.status) not in (int(St.STALLED), int(St.NUMERICAL_FAILURE)):
         return st
     aug = opts.replace(linsys="augmented")
     state0 = mehrotra.warm_start_state(lp, st.best_x, st.best_y, st.best_s,
@@ -246,12 +261,16 @@ def solve_general(glp, options: Optional[SolverOptions] = None) -> Solution:
 
     c_s, A_s, b_s, _, post = to_standard_form(glp)
     pres = presolve(c_s, A_s, b_s)
+    off = float(getattr(glp, "obj_offset", 0.0))
+    maximize = bool(getattr(glp, "maximize", False))
 
     def _empty_solution(status: int) -> Solution:
         z = np.zeros(post.n_std)
         z[pres.fixed_mask] = pres.fixed_vals[pres.fixed_mask]
         x = post.x_orig(z)
-        obj = float(np.asarray(glp.c) @ x)
+        obj = float(np.asarray(glp.c) @ x) + off
+        if maximize:
+            obj = -obj
         return Solution(
             x=x, y=np.zeros(glp.A_eq.shape[0] + glp.A_ub.shape[0]),
             s=np.zeros(glp.n), objective=obj, dual_objective=obj,
@@ -281,12 +300,26 @@ def solve_general(glp, options: Optional[SolverOptions] = None) -> Solution:
     z[pres.fixed_mask] = pres.fixed_vals[pres.fixed_mask]
     z[pres.kept_cols] = pres.col_scale * red.x
     x = post.x_orig(z)
-    obj = float(np.asarray(glp.c) @ x)
-    if getattr(glp, "maximize", False):
-        obj = -obj
+
+    # postsolve duals to ORIGINAL problem units (ADVICE r1): std-form rows
+    # are [A_eq | A_ub | appended bound rows]; bound-row duals are dropped
+    # from y (their contribution stays in the dual objective via b_s@y_std),
+    # and reduced costs are recomputed against the original gradient.
+    y_std = pres.postsolve_y(red.y)                 # (m_std,) unscaled
+    m_eq = glp.A_eq.shape[0]
+    m_ub = glp.A_ub.shape[0]
+    y = y_std[:m_eq + m_ub].copy()
+    s = glp.c - glp.A_eq.T @ y[:m_eq] - glp.A_ub.T @ y[m_eq:]
+    obj = float(np.asarray(glp.c) @ x) + off
+    # std form: min c_s@z + conv_offset, A_s z = b_s  =>  dual obj in
+    # original (minimize) units is b_s@y + conv_offset (+ file constant)
+    dual_obj = float(b_s @ y_std) + post.obj_offset + off
+    if maximize:
+        obj, dual_obj = -obj, -dual_obj
+        y, s = -y, -s
     return Solution(
-        x=x, y=pres.postsolve_y(red.y), s=red.s,
-        objective=obj, dual_objective=red.dual_objective,
+        x=x, y=y, s=s,
+        objective=obj, dual_objective=dual_obj,
         status=red.status, iterations=red.iterations,
         rel_gap=red.rel_gap, rp_rel=red.rp_rel, rd_rel=red.rd_rel,
         trace=red.trace)
@@ -335,6 +368,60 @@ def solve_large(c, A=None, b=None, mesh=None,
         st = _run_single(lp, opts)
         jax.block_until_ready(st.x)
     return _state_to_solution(lp, st)
+
+
+def solve_many(problems, options: Optional[SolverOptions] = None,
+               m_multiple: int = 32, n_multiple: int = 64) -> list:
+    """Solve a MIXED-SIZE collection of standard-form LPs (SURVEY.md §2.2
+    "EP" row; VERDICT r1 item 8).
+
+    ``problems`` is a sequence of ``(c, A, b)`` triples or :class:`LP`
+    objects of arbitrary (m, n).  Instances are grouped into geometric shape
+    buckets (ipx/problem/batching.py), padded solution-invariantly, solved
+    one device program per bucket via :func:`solve_batch`, unpadded, and
+    returned as a list of :class:`Solution` in input order.  XLA compiles
+    once per bucket — O(log(max/min)) programs for arbitrary workloads
+    instead of one per shape.
+    """
+    from ipx.problem.batching import bucket_lps
+
+    opts = options or DEFAULT_OPTIONS
+    probs = []
+    for p in problems:
+        if isinstance(p, LP):
+            probs.append((np.asarray(p.c, np.float64),
+                          np.asarray(p.A, np.float64),
+                          np.asarray(p.b, np.float64)))
+        else:
+            c, A, b = p
+            probs.append((np.asarray(c, np.float64),
+                          np.asarray(A, np.float64),
+                          np.asarray(b, np.float64)))
+
+    out: list = [None] * len(probs)
+    for shape, items in sorted(bucket_lps(probs, m_multiple,
+                                          n_multiple).items()):
+        sols = solve_batch([it[1].lp for it in items], options=opts)
+        for (idx, padded), sol in zip(items, sols):
+            c, A, b = probs[idx]
+            # strip padding and re-derive every reported quantity from the
+            # ORIGINAL problem: the padded dead columns carry c_j = 1 and
+            # x_j ~ mu, which must not leak into the objective
+            x = padded.unpad_x(sol.x)
+            y = padded.unpad_y(sol.y)
+            s = sol.s[: padded.n_orig]
+            pobj = float(c @ x)
+            out[idx] = Solution(
+                x=x, y=y, s=s,
+                objective=pobj, dual_objective=float(b @ y),
+                status=sol.status, iterations=sol.iterations,
+                rel_gap=float(abs(x @ s) / (1 + abs(pobj))),
+                rp_rel=float(np.abs(A @ x - b).max(initial=0.0)
+                             / (1 + np.abs(b).max(initial=0.0))),
+                rd_rel=float(np.abs(A.T @ y + s - c).max(initial=0.0)
+                             / (1 + np.abs(c).max(initial=0.0))),
+                trace=sol.trace)
+    return out
 
 
 def solve_batch(lps, options: Optional[SolverOptions] = None) -> list:

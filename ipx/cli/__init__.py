@@ -89,9 +89,10 @@ def cmd_random(args) -> int:
         sols = ipx.solve_batch([make_lp(g.c, g.A, g.b) for g in gs],
                                options=opts)
         worst = 0
-        for g, s in zip(gs, sols):
+        for i, (g, s) in enumerate(zip(gs, sols)):
             rel = abs(s.objective - g.obj_star) / (1 + abs(g.obj_star))
-            print(f"seed {g and ''}{s.status_name:10s} iters {s.iterations:3d}"
+            print(f"seed {args.seed + i}: {s.status_name:10s} "
+                  f"iters {s.iterations:3d}"
                   f"  obj {s.objective: .6e}  vs-known {rel:.2e}")
             worst = max(worst, 0 if s.optimal else 1)
         return worst

@@ -56,6 +56,8 @@ def load_mps_lib():
                                        ctypes.POINTER(ctypes.c_int64)]
         lib.ipx_mps_name.restype = ctypes.c_char_p
         lib.ipx_mps_name.argtypes = [ctypes.c_void_p]
+        lib.ipx_mps_obj_rhs.restype = ctypes.c_double
+        lib.ipx_mps_obj_rhs.argtypes = [ctypes.c_void_p]
         lib.ipx_mps_fill.restype = None
         lib.ipx_mps_fill.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 12
         lib.ipx_mps_free.restype = None

@@ -30,6 +30,7 @@ namespace {
 struct Mps {
   std::string name;
   bool maximize = false;
+  double obj_rhs = 0.0;  // RHS entry on the objective (N) row, if any
   // constraint rows (objective excluded)
   std::vector<char> row_types;                    // 'L', 'G', 'E'
   std::unordered_map<std::string, int32_t> row_idx;
@@ -233,7 +234,13 @@ void* ipx_mps_parse(const char* text, int64_t len, char* errbuf,
             delete m; return fail("bad number at line "
                                   + std::to_string(lineno));
           }
-          if (rit == m->row_idx.end()) continue;  // rhs of obj/free row
+          if (rit == m->row_idx.end()) {
+            // RHS on the objective row = objective constant (negated by
+            // MPS convention); RANGES on N/free rows are meaningless
+            if (sec == S_RHS && toks[i].str() == m->obj_row)
+              m->obj_rhs = v;
+            continue;
+          }
           if (sec == S_RHS) {
             m->rhs[rit->second] = v;
           } else {
@@ -307,6 +314,8 @@ void ipx_mps_counts(void* h, int64_t out[6]) {
 }
 
 const char* ipx_mps_name(void* h) { return ((Mps*)h)->name.c_str(); }
+
+double ipx_mps_obj_rhs(void* h) { return ((Mps*)h)->obj_rhs; }
 
 void ipx_mps_fill(void* h, int32_t* row_types, double* rhs,
                   uint8_t* has_range, double* ranges,

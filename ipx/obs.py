@@ -59,6 +59,13 @@ def resume_state(state: IPMState, max_iter: int) -> IPMState:
     import dataclasses
     from ipx.status import Status
     old = np.asarray(state.trace)
+    it = int(np.max(np.asarray(state.it)))
+    if max_iter < it:
+        # a smaller cap than already-completed iterations would truncate the
+        # trace below state.it and break Solution.iteration_table (ADVICE r1)
+        raise ValueError(
+            f"resume max_iter={max_iter} is smaller than the checkpoint's "
+            f"completed iteration count {it}; pass max_iter >= {it}")
     rows = min(old.shape[-2], max_iter)
     trace = np.zeros((*old.shape[:-2], max_iter, TRACE_COLS), old.dtype)
     trace[..., :rows, :] = old[..., :rows, :]

@@ -125,6 +125,12 @@ class SolverOptions:
             raise ValueError(f"unsupported dtype {self.dtype!r}")
         if self.refine_steps < 0 or self.kkt_refine_steps < 0:
             raise ValueError("refinement step counts must be >= 0")
+        if self.dtype == "float64" and self.chol_backend != "xla":
+            # the Mosaic kernels are f32-only; a silent downcast of the
+            # factor would betray an explicit f64 request (ADVICE r1)
+            raise ValueError(
+                "chol_backend='pallas'/'hybrid' kernels are float32-only; "
+                "use chol_backend='xla' with dtype='float64'")
 
     def replace(self, **kw) -> "SolverOptions":
         return dataclasses.replace(self, **kw)

@@ -70,12 +70,14 @@ def make_lp(c, A, b, obj_offset=0.0, dtype=None) -> LP:
 class GeneralLP:
     """Host-side general LP:
 
-        min  c@x
+        min  c@x + obj_offset
         s.t. A_ub @ x <= b_ub
              A_eq @ x == b_eq
              lb <= x <= ub      (entries may be -inf / +inf)
 
     Defaults follow scipy.optimize.linprog: lb = 0, ub = +inf.
+    ``obj_offset`` is a constant term in the minimize-form objective (e.g.
+    an RHS entry on an MPS objective row — ADVICE r1).
     """
 
     c: np.ndarray
@@ -86,9 +88,11 @@ class GeneralLP:
     lb: Optional[np.ndarray] = None
     ub: Optional[np.ndarray] = None
     name: str = ""
+    obj_offset: float = 0.0
 
     def __post_init__(self):
         self.c = np.asarray(self.c, np.float64)
+        self.obj_offset = float(self.obj_offset)
         n = self.c.shape[0]
         if self.A_ub is None:
             self.A_ub = np.zeros((0, n))

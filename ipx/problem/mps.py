@@ -50,6 +50,7 @@ class ParsedMPS:
     obj_col: np.ndarray      # int32
     obj_val: np.ndarray
     bounds: list = field(default_factory=list)  # [(code, col, val)] in order
+    obj_rhs: float = 0.0     # RHS entry on the objective row (negated const)
 
 
 # ---------------------------------------------------------------------------
@@ -73,6 +74,7 @@ def _parse_python(text: str) -> ParsedMPS:
     rhs: dict[str, float] = {}
     ranges: dict[str, float] = {}
     bounds: list = []
+    obj_rhs = 0.0
 
     for raw in text.splitlines():
         if not raw.strip() or raw.lstrip().startswith("*"):
@@ -131,7 +133,12 @@ def _parse_python(text: str) -> ParsedMPS:
             pairs = tok[1:] if len(tok) % 2 else tok
             tgt = rhs if section == "RHS" else ranges
             for r, v in zip(pairs[::2], pairs[1::2]):
-                tgt[r] = float(v)
+                if section == "RHS" and r == obj_row:
+                    # standard MPS: RHS on the N row is the NEGATED
+                    # objective constant (several Netlib files use this)
+                    obj_rhs = float(v)
+                else:
+                    tgt[r] = float(v)
         elif section == "BOUNDS":
             bt = tok[0].upper()
             if bt in ("LO", "UP", "FX", "LI", "UI"):
@@ -173,6 +180,7 @@ def _parse_python(text: str) -> ParsedMPS:
         obj_col=np.asarray(obj_c, np.int32),
         obj_val=np.asarray(obj_v, np.float64),
         bounds=bounds,
+        obj_rhs=obj_rhs,
     )
 
 
@@ -207,6 +215,7 @@ def _parse_native(text: str) -> ParsedMPS | None:
         ent_val = arr(nnz, np.float64)
         obj_col = arr(nobj, np.int32)
         obj_val = arr(nobj, np.float64)
+        obj_rhs = float(lib.ipx_mps_obj_rhs(h))
         bnd_type = arr(nbnd, np.int32)
         bnd_col = arr(nbnd, np.int32)
         bnd_val = arr(nbnd, np.float64)
@@ -227,6 +236,7 @@ def _parse_native(text: str) -> ParsedMPS | None:
         obj_col=obj_col, obj_val=obj_val,
         bounds=[(int(t), int(c), float(v))
                 for t, c, v in zip(bnd_type, bnd_col, bnd_val)],
+        obj_rhs=obj_rhs,
     )
 
 
@@ -295,8 +305,14 @@ def _build_general_lp(p: ParsedMPS) -> GeneralLP:
     lbv[lb_set] = lb_val[lb_set]
     ubv[ub_set] = ub_val[ub_set]
 
+    # objective constant: RHS on the N row is the negated constant, so the
+    # original objective is  c@x - obj_rhs  (in the file's optimization
+    # sense).  GeneralLP stores the MINIMIZE form; for maximize files both c
+    # and the constant flip sign.
+    k = -p.obj_rhs
     if p.maximize:
         c = -c
+        k = -k
 
     glp = GeneralLP(
         c=c,
@@ -304,7 +320,7 @@ def _build_general_lp(p: ParsedMPS) -> GeneralLP:
         b_ub=np.array(b_ub) if A_ub_rows else None,
         A_eq=np.array(A_eq_rows).reshape(-1, n) if A_eq_rows else None,
         b_eq=np.array(b_eq) if A_eq_rows else None,
-        lb=lbv, ub=ubv, name=p.name,
+        lb=lbv, ub=ubv, name=p.name, obj_offset=k,
     )
     glp.maximize = p.maximize   # objective was negated; flag for reporting
     return glp

@@ -65,7 +65,10 @@ def test_converged_instances_frozen_while_slow_one_runs():
     opts = ipx.SolverOptions(dtype="float32")
     lps = [make_lp(g.c, g.A, g.b) for g in (easy, hard)]
     bsols = ipx.solve_batch(lps, options=opts)
-    solo = ipx.solve(easy.c, easy.A, easy.b, options=opts)
+    # presolve=False: comparing iteration counts of the raw DEVICE paths
+    # (batch member vs single); the presolve route follows a different
+    # (Ruiz-scaled, reduced) trajectory.
+    solo = ipx.solve(easy.c, easy.A, easy.b, options=opts, presolve=False)
     # Not bitwise: XLA's batched cholesky/matmul kernels round differently
     # than their unbatched forms, so the trajectories differ in the last
     # ulps and convergence can land one iteration apart.
@@ -91,3 +94,36 @@ def test_run_batch_fixed_iters_advances():
     st5 = batched.run_batch_fixed_iters(blp, st0, 5, opts, fac_aat)
     assert int(st5.it[0]) == 5
     assert float(st5.mu[0]) < float(np.asarray(st0.mu0[0]))
+
+
+# ---------------------------------------------------------------------------
+# solve_many: API-level bucketed solving of mixed-size workloads
+# (SURVEY.md §2.2 EP row; VERDICT r1 item 8)
+# ---------------------------------------------------------------------------
+
+def test_solve_many_mixed_sizes():
+    import ipx
+    from ipx.problem.generate import random_feasible_lp
+    shapes = [(20, 40), (24, 50), (30, 60), (48, 96), (10, 30), (20, 40)]
+    gs = [random_feasible_lp(m, n, seed=i) for i, (m, n) in enumerate(shapes)]
+    sols = ipx.solve_many([(g.c, g.A, g.b) for g in gs])
+    assert len(sols) == len(gs)
+    for i, (g, s) in enumerate(zip(gs, sols)):
+        assert s.optimal, f"instance {i}: {s.status_name}"
+        # shapes are back in ORIGINAL units and input order
+        assert s.x.shape == (g.A.shape[1],)
+        assert s.y.shape == (g.A.shape[0],)
+        rel = abs(s.objective - g.obj_star) / (1 + abs(g.obj_star))
+        assert rel <= 2e-6, f"instance {i}: rel err {rel:.2e}"
+        assert s.rp_rel <= 1e-4
+
+
+def test_solve_many_accepts_lp_objects():
+    import ipx
+    from ipx.problem.generate import random_feasible_lp
+    from ipx.problem.lp import make_lp
+    gs = [random_feasible_lp(16, 32, seed=9), random_feasible_lp(40, 80, seed=10)]
+    sols = ipx.solve_many([make_lp(g.c, g.A, g.b) for g in gs])
+    for g, s in zip(gs, sols):
+        assert s.optimal
+        assert abs(s.objective - g.obj_star) / (1 + abs(g.obj_star)) <= 2e-6

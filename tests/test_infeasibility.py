@@ -8,16 +8,19 @@ from ipx.status import Status
 
 
 def test_primal_infeasible_detected():
-    # x1 = 1 and x1 = 2 simultaneously, x >= 0: infeasible
+    # x1 = 1 and x1 = 2 simultaneously, x >= 0: infeasible.  The presolve
+    # duplicate-row check catches this deterministically (VERDICT r1 weak #8:
+    # assertion tightened from the old {INFEASIBLE, FAILURE, STALLED} set).
     A = np.array([[1.0], [1.0]])
     b = np.array([1.0, 2.0])
     c = np.array([1.0])
     sol = ipx.solve(c, A, b, options=ipx.SolverOptions(dtype="float32"))
-    assert sol.status in (int(Status.PRIMAL_INFEASIBLE),
-                          int(Status.NUMERICAL_FAILURE),
-                          int(Status.STALLED))
-    # the point of the certificate: not reported OPTIMAL
-    assert not sol.optimal
+    assert sol.status == int(Status.PRIMAL_INFEASIBLE), sol.status_name
+    # the raw device path has no presolve; its divergence-based Farkas
+    # certificate must still refuse to report OPTIMAL
+    sol_dev = ipx.solve(c, A, b, options=ipx.SolverOptions(dtype="float32"),
+                        presolve=False)
+    assert not sol_dev.optimal
 
 
 def test_primal_infeasible_certificate_status():

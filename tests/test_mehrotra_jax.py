@@ -15,8 +15,12 @@ from ipx.status import Status
 
 
 def _solve(g, **opt_kw):
+    # presolve=False: this file tests properties of the raw DEVICE iterate
+    # (interiority, trace, step-lock); the presolve path postsolves s = c -
+    # A^T y host-side, which legitimately rounds zero entries slightly
+    # negative.
     opts = ipx.SolverOptions(**opt_kw)
-    return ipx.solve(g.c, g.A, g.b, options=opts)
+    return ipx.solve(g.c, g.A, g.b, options=opts, presolve=False)
 
 
 @pytest.mark.parametrize("seed", range(3))

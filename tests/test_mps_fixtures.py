@@ -1,0 +1,67 @@
+"""Committed Netlib-grade MPS fixtures (VERDICT r1 item 9).
+
+Three realistic-density fixtures (tests/fixtures/*.mps, generated once by
+gen_fixtures.py and committed) exercise RANGES on all row types, the full
+bounds vocabulary incl. the negative-UP convention, objective-row RHS
+constants, and OBJSENSE MAX at hundreds-of-rows scale.  Assertions: the
+native C++ parser and the pure-Python parser produce identical problems,
+and ipx.solve_mps agrees with HiGHS to the 1e-6 contract.
+"""
+import os
+
+import numpy as np
+import pytest
+from scipy.optimize import linprog
+
+import ipx
+from ipx.problem.mps import read_mps
+
+FIXTURES = ["syn01.mps", "syn02.mps", "syn03_max.mps"]
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def _path(name: str) -> str:
+    return os.path.join(HERE, "fixtures", name)
+
+
+@pytest.mark.parametrize("name", FIXTURES)
+def test_native_parser_identity_on_fixtures(name):
+    from ipx import native as native_mod
+    if native_mod.load_mps_lib() is None:
+        pytest.skip("no C++ toolchain")
+    a = read_mps(_path(name), use_native=False)
+    b = read_mps(_path(name), use_native=True)
+    np.testing.assert_array_equal(a.c, b.c)
+    np.testing.assert_array_equal(a.A_ub, b.A_ub)
+    np.testing.assert_array_equal(a.b_ub, b.b_ub)
+    np.testing.assert_array_equal(a.A_eq, b.A_eq)
+    np.testing.assert_array_equal(a.b_eq, b.b_eq)
+    np.testing.assert_array_equal(a.lb, b.lb)
+    np.testing.assert_array_equal(a.ub, b.ub)
+    assert a.obj_offset == b.obj_offset
+    assert a.name == b.name
+    assert getattr(a, "maximize", False) == getattr(b, "maximize", False)
+
+
+@pytest.mark.parametrize("name", FIXTURES)
+def test_fixture_realistic_density(name):
+    glp = read_mps(_path(name))
+    m = glp.A_ub.shape[0] + glp.A_eq.shape[0]
+    assert m >= 100, f"{name}: only {m} converted rows"
+    assert glp.n >= 90
+
+
+@pytest.mark.parametrize("name", FIXTURES)
+def test_solve_mps_matches_highs_on_fixtures(name):
+    glp = read_mps(_path(name))
+    ref = linprog(glp.c, A_ub=glp.A_ub, b_ub=glp.b_ub,
+                  A_eq=glp.A_eq, b_eq=glp.b_eq,
+                  bounds=list(zip(glp.lb, glp.ub)), method="highs")
+    assert ref.status == 0, f"HiGHS status {ref.status} on {name}"
+    ref_obj = ref.fun + glp.obj_offset
+    if getattr(glp, "maximize", False):
+        ref_obj = -ref_obj
+    sol = ipx.solve_mps(_path(name))
+    assert sol.optimal, sol.status_name
+    assert abs(sol.objective - ref_obj) <= 1e-6 * (1 + abs(ref_obj)), (
+        f"{name}: ipx {sol.objective} vs HiGHS {ref_obj}")

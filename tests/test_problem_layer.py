@@ -386,3 +386,106 @@ def test_solve_presolve_flag_rank_deficient():
     assert abs(sol.objective - ref.fun) <= 2e-6 * (1 + abs(ref.fun))
     # postsolved point is feasible in original units
     assert np.abs(A @ sol.x - b).max() <= 1e-4 * (1 + np.abs(b).max())
+
+
+# ---------------------------------------------------------------------------
+# objective constant (RHS on the N row) — ADVICE r1
+# ---------------------------------------------------------------------------
+
+OFFSET_MPS = """\
+NAME OFF
+ROWS
+ N obj
+ G g1
+COLUMNS
+    x obj 2.0 g1 1.0
+RHS
+    rhs g1 3.0
+    rhs obj -10.0
+ENDATA
+"""
+
+
+@pytest.mark.parametrize("use_native", [False, None])
+def test_mps_objective_rhs_constant(use_native):
+    # min 2x s.t. x >= 3, constant = -rhs_obj = +10  ->  optimum 16
+    if use_native is None:
+        from ipx import native as native_mod
+        if native_mod.load_mps_lib() is None:
+            pytest.skip("no C++ toolchain")
+    glp = read_mps_string(OFFSET_MPS, use_native=use_native)
+    assert glp.obj_offset == 10.0
+    sol = ipx.solve_general(glp, ipx.SolverOptions(dtype="float64"))
+    assert sol.optimal
+    assert abs(sol.objective - 16.0) <= 1e-6
+
+
+def test_mps_objective_rhs_constant_maximize():
+    txt = OFFSET_MPS.replace("ROWS", "OBJSENSE\n    MAX\nROWS").replace(
+        " G g1", " L g1").replace("obj 2.0", "obj 2.0").replace(
+        "rhs g1 3.0", "rhs g1 3.0")
+    # max 2x + 10 s.t. x <= 3  ->  optimum 16
+    glp = read_mps_string(txt, use_native=False)
+    sol = ipx.solve_general(glp, ipx.SolverOptions(dtype="float64"))
+    assert sol.optimal
+    assert abs(sol.objective - 16.0) <= 1e-6
+
+
+# ---------------------------------------------------------------------------
+# solve_general dual consistency — ADVICE r1: y in original rows, s = reduced
+# costs, primal/dual objective pair consistent at optimality
+# ---------------------------------------------------------------------------
+
+def test_solve_general_dual_consistency():
+    rng = np.random.default_rng(7)
+    m_ub, m_eq, n = 6, 4, 12
+    A_ub = rng.standard_normal((m_ub, n))
+    A_eq = rng.standard_normal((m_eq, n))
+    x0 = np.abs(rng.standard_normal(n)) + 0.5
+    b_ub = A_ub @ x0 + np.abs(rng.standard_normal(m_ub))
+    b_eq = A_eq @ x0
+    c = np.abs(rng.standard_normal(n)) + 0.1
+    glp = ipx.GeneralLP(c=c, A_ub=A_ub, b_ub=b_ub, A_eq=A_eq, b_eq=b_eq)
+    ref = linprog(c, A_ub=A_ub, b_ub=b_ub, A_eq=A_eq, b_eq=b_eq,
+                  method="highs")
+    assert ref.status == 0
+    sol = ipx.solve_general(glp, ipx.SolverOptions(dtype="float64"))
+    assert sol.optimal
+    # shapes per the Solution contract
+    assert sol.y.shape == (m_eq + m_ub,)
+    assert sol.s.shape == (n,)
+    # duals match HiGHS marginals (equality duals first, then <=-row duals)
+    np.testing.assert_allclose(sol.y[:m_eq], ref.eqlin.marginals,
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(sol.y[m_eq:], ref.ineqlin.marginals,
+                               rtol=1e-5, atol=1e-6)
+    # s is the reduced cost of the original gradient
+    np.testing.assert_allclose(
+        sol.s, c - A_eq.T @ sol.y[:m_eq] - A_ub.T @ sol.y[m_eq:],
+        rtol=1e-12, atol=1e-12)
+    # primal/dual objective pair closes at optimality
+    assert abs(sol.objective - sol.dual_objective) <= 1e-6 * (1 + abs(sol.objective))
+    assert abs(sol.objective - ref.fun) <= 1e-6 * (1 + abs(ref.fun))
+
+
+def test_solve_general_dual_consistency_maximize_with_bounds():
+    rng = np.random.default_rng(11)
+    m_ub, n = 5, 8
+    A_ub = rng.standard_normal((m_ub, n))
+    x0 = np.abs(rng.standard_normal(n)) + 0.5
+    b_ub = A_ub @ x0 + np.abs(rng.standard_normal(m_ub))
+    c_max = rng.standard_normal(n)
+    ub = x0 + np.abs(rng.standard_normal(n)) + 0.5
+    glp = ipx.GeneralLP(c=-c_max, A_ub=A_ub, b_ub=b_ub,
+                        lb=np.zeros(n), ub=ub)
+    glp.maximize = True
+    ref = linprog(-c_max, A_ub=A_ub, b_ub=b_ub,
+                  bounds=list(zip(glp.lb, glp.ub)), method="highs")
+    assert ref.status == 0
+    sol = ipx.solve_general(glp, ipx.SolverOptions(dtype="float64"))
+    assert sol.optimal
+    assert abs(sol.objective - (-ref.fun)) <= 1e-6 * (1 + abs(ref.fun))
+    # maximize-sense duals: scipy reports minimize marginals, ours negate
+    np.testing.assert_allclose(sol.y, -ref.ineqlin.marginals,
+                               rtol=1e-5, atol=1e-6)
+    assert abs(sol.objective - sol.dual_objective) <= 1e-6 * (1 + abs(sol.objective))
