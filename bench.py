@@ -69,24 +69,32 @@ def main() -> int:
     # The correctness probe below runs the SAME config to convergence and
     # reports its achieved rel gap alongside the timing.
     opts = ipx.SolverOptions(dtype="float32", max_iter=args.iters + 1,
-                             chol_backend="hybrid", refine_steps=1)
+                             chol_backend="hybrid", refine_steps=1,
+                             matvec_backend="fused")
 
-    # --- build batch (host) -------------------------------------------------
-    # Every instance is DISTINCT (VERDICT r1 weak #4): stacked directly into
-    # f32 host buffers so B=1024 stays within host RAM (~8.6GB A at contract
-    # shapes).  One-time host cost, ~25ms/instance.
-    A_h = np.empty((B, m, n), np.float32)
-    c_h = np.empty((B, n), np.float32)
-    b_h = np.empty((B, m), np.float32)
-    gs = []
-    for i in range(B):
-        g = random_feasible_lp(m, n, seed=i)
-        A_h[i], c_h[i], b_h[i] = g.A, g.c, g.b
-        if i < 8:
-            gs.append(g)
+    # --- build batch (ON DEVICE) --------------------------------------------
+    # Every instance is DISTINCT (VERDICT r1 weak #4), generated directly on
+    # the chip with the same construction as problem.generate
+    # random_feasible_lp (known-optimal primal-dual pair) — at B=128 the A
+    # tensor is 1GB, and pushing it through the host->device tunnel costs
+    # minutes; on-device generation is ~instant and scales to B=1024.
     from ipx.problem.lp import LP
-    blp = LP(c=jnp.asarray(c_h), A=jnp.asarray(A_h), b=jnp.asarray(b_h),
-             obj_offset=jnp.zeros((B,), jnp.float32))
+
+    def _gen_one(k):
+        k1, k2, k3, k4, k5 = jax.random.split(k, 5)
+        A = jax.random.normal(k1, (m, n), jnp.float32) / jnp.sqrt(
+            jnp.asarray(n, jnp.float32))
+        perm = jax.random.permutation(k2, n)
+        x_star = jnp.zeros(n, jnp.float32).at[perm[:m]].set(
+            jax.random.uniform(k3, (m,), jnp.float32, 0.5, 2.0))
+        s_star = jnp.zeros(n, jnp.float32).at[perm[m:]].set(
+            jax.random.uniform(k4, (n - m,), jnp.float32, 0.5, 2.0))
+        y_star = jax.random.normal(k5, (m,), jnp.float32)
+        return A.T @ y_star + s_star, A, A @ x_star
+
+    c_d, A_d, b_d = jax.jit(jax.vmap(_gen_one))(
+        jax.random.split(jax.random.PRNGKey(0), B))
+    blp = LP(c=c_d, A=A_d, b=b_d, obj_offset=jnp.zeros((B,), jnp.float32))
 
     # --- steady-state iteration throughput ----------------------------------
     import functools
@@ -134,7 +142,8 @@ def main() -> int:
     sols = ipx.solve_batch(
         probe, options=ipx.SolverOptions(dtype="float32", max_iter=48,
                                          chol_backend="hybrid",
-                                         refine_steps=1))
+                                         refine_steps=1,
+                                         matvec_backend="fused"))
     gaps = [s.rel_gap for s in sols]
     n_opt = sum(s.optimal for s in sols)
     iters = [s.iterations for s in sols]

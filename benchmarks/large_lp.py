@@ -1,0 +1,98 @@
+"""Config-4 scale runner (VERDICT r1 item 4; BASELINE.json:10).
+
+Runs ``ipx.solve_large`` — column-sharded Schur assembly + distributed
+blocked Cholesky — at the largest real-chip-feasible sizes and appends one
+JSON line per run to ``benchmarks/large_lp_results.jsonl``:
+
+    {"m": ..., "n": ..., "p": ..., "status": "OPTIMAL", "iterations": ...,
+     "rel_gap": ..., "seconds": ..., "peak_bytes": ...}
+
+The LP is generated ON DEVICE (a known-optimum feasible instance, the same
+construction as problem.generate.random_feasible_lp) — at m=32k the A
+matrix alone is 8GB and cannot ride the host->device tunnel.
+
+Usage: python benchmarks/large_lp.py [--m 8192] [--n 0 (= 2m)] [--row 1]
+       [--sweep]   # m in {4096, 8192, 16384, 24576} until OOM
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def run_one(m: int, n: int, row: int) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import ipx
+    from ipx import mesh as meshlib
+
+    key = jax.random.PRNGKey(m)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+
+    @jax.jit
+    def gen():
+        A = jax.random.normal(k1, (m, n), jnp.float32) / jnp.sqrt(
+            jnp.asarray(n, jnp.float32))
+        perm = jax.random.permutation(k2, n)
+        x_star = jnp.zeros(n, jnp.float32).at[perm[:m]].set(
+            jax.random.uniform(k3, (m,), jnp.float32, 0.5, 2.0))
+        s_star = jnp.zeros(n, jnp.float32).at[perm[m:]].set(
+            jax.random.uniform(k4, (n - m,), jnp.float32, 0.5, 2.0))
+        y_star = jax.random.normal(k5, (m,), jnp.float32)
+        c = A.T @ y_star + s_star
+        b = A @ x_star
+        return c, A, b, jnp.vdot(c, x_star)
+
+    c, A, b, obj_star = gen()
+    obj_star = float(obj_star)
+    mesh = meshlib.make_mesh(batch=1, row=row)
+    t0 = time.perf_counter()
+    sol = ipx.solve_large(c, A, b, mesh=mesh,
+                          options=ipx.SolverOptions(dtype="float32"))
+    dt = time.perf_counter() - t0
+    dev = jax.devices()[0]
+    stats = getattr(dev, "memory_stats", lambda: None)() or {}
+    rel_err = abs(sol.objective - obj_star) / (1 + abs(obj_star))
+    return {
+        "m": m, "n": n, "p": row,
+        "status": sol.status_name, "iterations": sol.iterations,
+        "rel_gap": sol.rel_gap, "obj_rel_err_vs_known": rel_err,
+        "seconds_total_incl_compile": round(dt, 2),
+        "peak_bytes": stats.get("peak_bytes_in_use"),
+        "platform": dev.platform,
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--m", type=int, default=8192)
+    ap.add_argument("--n", type=int, default=0, help="0 = 2m")
+    ap.add_argument("--row", type=int, default=1)
+    ap.add_argument("--sweep", action="store_true")
+    args = ap.parse_args()
+
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "large_lp_results.jsonl")
+    sizes = ([4096, 8192, 16384, 24576] if args.sweep else [args.m])
+    for m in sizes:
+        n = args.n or 2 * m
+        try:
+            rec = run_one(m, n, args.row)
+        except Exception as e:  # noqa: BLE001 — record OOM/compile failures
+            rec = {"m": m, "n": n, "p": args.row,
+                   "status": f"ERROR: {type(e).__name__}",
+                   "error": str(e)[:300]}
+        print(json.dumps(rec), flush=True)
+        with open(out_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        if str(rec.get("status", "")).startswith("ERROR"):
+            break
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(main())

@@ -70,7 +70,7 @@ def starting_point(lp: LP, opts: SolverOptions):
     return x, y, s, fac
 
 
-def _scalars(lp: LP, x, y, s, prec: str):
+def _scalars(lp: LP, x, y, s, prec: str, fused: bool = False):
     """Residual norms, duality measure, relative gap (reference R4).
 
     The gap criterion is the COMPLEMENTARITY gap x@s/(1+|c@x|), not the
@@ -81,8 +81,15 @@ def _scalars(lp: LP, x, y, s, prec: str):
     rp, rd <= tol_feas.
     """
     n = lp.n
-    rp = mv(lp.A, x, prec) - lp.b
-    rd = mv(lp.A.T, y, prec) + s - lp.c
+    if fused:
+        # A@x and A^T y are an independent pair: one A stream
+        from ipx.kernels import fused as fk
+        ax, aty = fk.ata_apply(lp.A, y, None, x)
+        rp = ax - lp.b
+        rd = aty + s - lp.c
+    else:
+        rp = mv(lp.A, x, prec) - lp.b
+        rd = mv(lp.A.T, y, prec) + s - lp.c
     mu = jnp.vdot(x, s) / n
     pobj = jnp.vdot(lp.c, x)
     one = jnp.ones((), x.dtype)
@@ -106,8 +113,9 @@ def mehrotra_step(lp: LP, state: IPMState, opts: SolverOptions,
     prec = opts.matmul_precision
     dtype = x.dtype
     n = lp.n
+    fuse = normal_eq.use_fused_matvec(opts, A)
 
-    rp, rd, mu, *_ = _scalars(lp, x, y, s, prec)
+    rp, rd, mu, *_ = _scalars(lp, x, y, s, prec, fused=fuse)
     mu_safe = jnp.maximum(mu, jnp.asarray(1e-30, dtype))
 
     # The feasibility projection is a NORMAL-EQUATIONS pathology fix; the
@@ -170,6 +178,69 @@ def mehrotra_step(lp: LP, state: IPMState, opts: SolverOptions,
             dx = dx - mv(A.T, normal_eq.solve(fac_aat, A, e_p, proj_opts),
                          prec)
         return dx, dy, ds
+
+    def kkt_solve_fused(r_xs, refines, project):
+        """Stream-fused version of :func:`kkt_solve` (matvec_backend=
+        "fused"): identical refinement algebra, but each sweep's THREE A
+        streams (e_p, e_d, rhs) collapse into one ``ata_apply`` call, and
+        the final sweep's ``ds`` update shares a stream with the
+        projection's ``e_p`` (the forward product of the updated dx is the
+        fused form ``A (dx + d2 (A^T ddy) + ...)``).  The cancellation-
+        sensitive elementwise residuals (e_d, e_xs) are computed OUTSIDE
+        the kernel in the same order as kkt_solve, so refinement quality is
+        unchanged — only the A traffic drops (~2x fewer streams).
+        """
+        from ipx.kernels import fused as fk
+
+        do_proj = fac_aat is not None and project
+        rhs = -rp - mv(A, d2 * rd - r_xs / s, prec)
+        dy = normal_eq.solve(fac, A, rhs, opts)
+        if refines == 0 and do_proj:
+            # fold ds/dx construction with the projection's e_p stream:
+            # y = A @ (d2 (A^T dy + rd) - r_xs/s) = A @ dx_new
+            yv, t = fk.ata_apply(A, dy, d2, -(r_xs / s), beta=rd)
+            ds = -rd - t
+            dx = -(r_xs / s) - d2 * ds
+            e_p = rp + yv
+        else:
+            ds = -rd - mv(A.T, dy, prec)
+            dx = -(r_xs / s) - d2 * ds
+            for k in range(refines):
+                last = k == refines - 1
+                e_xs = r_xs + s * dx + x * ds
+                # beta carries the cancellation-critical residual sum:
+                # w = d2 * ((A^T dy) + (rd + ds)) + wn = d2 * e_d + wn,
+                # with e_d's near-total cancellation done BEFORE the d2
+                # scaling (see ipx/kernels/fused.py)
+                beta = rd + ds
+                yv, t = fk.ata_apply(A, dy, d2, dx - e_xs / s, beta=beta)
+                # e_d MUST reproduce the kernel's association fl(t + beta)
+                # bit-for-bit: the rhs the kernel built and the dds update
+                # below must see the SAME rounded e_d, else the ~eps
+                # discrepancy is amplified by d2 * dds (measured: 4e4x worse
+                # complementarity residual with e_d = rd + t + ds)
+                e_d = t + beta
+                ddy = normal_eq.solve(fac, A, -rp - yv, opts)
+                if last and do_proj:
+                    # one stream: A @ dx_new and A^T ddy together
+                    # (w = d2 ((A^T ddy) + e_d) + dx - e_xs/s = A-arg of
+                    # dx_new; e_d + t2 = -dds is the other cancelling pair)
+                    y2, t2 = fk.ata_apply(A, ddy, d2, dx - e_xs / s,
+                                          beta=e_d)
+                    dds = -e_d - t2
+                    e_p = rp + y2
+                else:
+                    dds = -e_d - mv(A.T, ddy, prec)
+                ddx = -(e_xs / s) - d2 * dds
+                dx, dy, ds = dx + ddx, dy + ddy, ds + dds
+        if do_proj:
+            proj_opts = opts.replace(refine_steps=opts.proj_cg_iters)
+            dx = dx - mv(A.T, normal_eq.solve(fac_aat, A, e_p, proj_opts),
+                         prec)
+        return dx, dy, ds
+
+    if fuse:
+        kkt_solve = kkt_solve_fused
 
     # --- predictor (R7) ------------------------------------------------------
     # Measured caution (m=1024/n=2048 scale): the affine direction's quality
@@ -257,7 +328,7 @@ def mehrotra_step(lp: LP, state: IPMState, opts: SolverOptions,
 
     # --- convergence / failure bookkeeping -----------------------------------
     _, _, mu_n, rp_rel, rd_rel, rel_gap, pobj = _scalars(
-        lp, x_new, y_new, s_new, prec)
+        lp, x_new, y_new, s_new, prec, fused=fuse)
 
     finite = (jnp.all(jnp.isfinite(x_new)) & jnp.all(jnp.isfinite(y_new))
               & jnp.all(jnp.isfinite(s_new)) & jnp.isfinite(rel_gap) & fac.ok)

@@ -1,0 +1,128 @@
+"""Fused A-resident KKT matvec kernel (VERDICT r1 item 1).
+
+The Mehrotra iteration's bandwidth floor is set by repeated streams of the
+(m, n) constraint matrix: the matrix-free normal operator ``A (d2 * (A^T
+v))`` costs two full A streams at the XLA level (two dependent matmuls
+cannot fuse — the intermediate ``A^T v`` materializes), and every KKT
+refinement sweep adds paired ``A dx`` / ``A^T dy`` streams.
+
+This kernel restores the single-stream structure by walking A in COLUMN
+STRIPES: for stripe S the contraction ``t_S = A_S^T v`` needs only A_S, and
+the forward product immediately consumes it —
+
+    y  =  A @ (alpha * (A^T v) + w)     [one pass over A]
+    t  =  A^T v                          [free by-product]
+
+With ``alpha = d2, w = 0`` this is the whole normal-equations operator in
+one A stream (2x less HBM traffic than XLA); with ``alpha = 0`` it is a
+fused PAIR of independent matvecs ``(A @ w, A^T v)`` in one stream; with
+``alpha = d2`` and a precomputed elementwise ``w`` it evaluates a complete
+KKT-refinement right-hand side (see ipx/ipm/mehrotra.py) in one stream
+instead of three.
+
+Per-instance 2D kernel; the batched path reaches it through ``jax.vmap``
+(Pallas prepends the batch dimension to the grid).  On non-TPU backends it
+runs in interpret mode, so CI exercises identical code.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_HP = jax.lax.Precision.HIGHEST
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def stripe_width(m: int, n: int) -> int | None:
+    """Largest column-stripe width that (a) divides n, (b) is a multiple of
+    the 128 lane width, (c) keeps the double-buffered A block under ~2MB of
+    VMEM.  None when n has no 128-multiple divisor (caller falls back to
+    XLA matmuls)."""
+    budget = (2 << 20) // (4 * max(m, 1))          # f32 block rows = m
+    best = None
+    for w in range(128, n + 1, 128):
+        if n % w == 0 and w <= max(budget, 128):
+            best = w
+    return best
+
+
+def _ata_kernel(vm_ref, alpha_ref, beta_ref, wn_ref, a_ref, y_ref, t_ref):
+    s = pl.program_id(0)
+    Ab = a_ref[:]                                   # (m, NS)
+    t = jax.lax.dot_general(vm_ref[:], Ab, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=_HP)          # (1, NS) = vm @ A_S
+    t_ref[:] = t
+    # (t + beta) FIRST: in KKT refinement this difference is a tiny residual
+    # of two O(1) quantities — scaling by alpha (= d2, up to ~1e10 near
+    # convergence) before cancelling would destroy it (measured: stalls the
+    # endgame at mu ~ 2e-7 instead of 2e-10)
+    w = alpha_ref[:] * (t + beta_ref[:]) + wn_ref[:]
+    yp = jax.lax.dot_general(w, Ab, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=_HP)         # (1, m) = w @ A_S^T
+
+    @pl.when(s == 0)
+    def _():
+        y_ref[:] = yp
+
+    @pl.when(s > 0)
+    def _():
+        y_ref[:] = y_ref[:] + yp
+
+
+@functools.partial(jax.jit, static_argnames=("ns",))
+def _ata_apply_2d(A, vm2, alpha2, beta2, wn2, ns: int):
+    m, n = A.shape
+    grid = (n // ns,)
+    y2, t2 = pl.pallas_call(
+        _ata_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, m), lambda s: (0, 0)),            # vm
+            pl.BlockSpec((1, ns), lambda s: (0, s)),           # alpha
+            pl.BlockSpec((1, ns), lambda s: (0, s)),           # beta
+            pl.BlockSpec((1, ns), lambda s: (0, s)),           # wn
+            pl.BlockSpec((m, ns), lambda s: (0, s)),           # A stripe
+        ],
+        out_specs=[
+            pl.BlockSpec((1, m), lambda s: (0, 0)),            # y (accum)
+            pl.BlockSpec((1, ns), lambda s: (0, s)),           # t
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, m), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(vm2, alpha2, beta2, wn2, A)
+    return y2, t2
+
+
+def ata_apply(A: jax.Array, vm: jax.Array, alpha, wn, beta=None):
+    """One-A-stream evaluation of
+
+        y = A @ (alpha * (A^T vm + beta) + wn),    t = A^T vm.
+
+    ``alpha``/``beta``/``wn`` may be ``None`` (treated as 0 — and an
+    ``alpha=None`` call is the fused independent PAIR ``(A @ wn, A^T vm)``).
+    ``beta`` exists for cancellation-critical sums: ``t + beta`` is formed
+    BEFORE the ``alpha`` scaling (see kernel comment).  Returns ``(y, t)``
+    as (m,), (n,) float32.  Caller must ensure ``stripe_width(m, n)`` is
+    not None.
+    """
+    m, n = A.shape
+    ns = stripe_width(m, n)
+    zero_n = jnp.zeros((1, n), jnp.float32)
+    vm2 = vm.reshape(1, m).astype(jnp.float32)
+    alpha2 = zero_n if alpha is None else alpha.reshape(1, n).astype(jnp.float32)
+    beta2 = zero_n if beta is None else beta.reshape(1, n).astype(jnp.float32)
+    wn2 = zero_n if wn is None else wn.reshape(1, n).astype(jnp.float32)
+    y2, t2 = _ata_apply_2d(A.astype(jnp.float32), vm2, alpha2, beta2, wn2, ns)
+    return y2[0], t2[0]

@@ -107,9 +107,9 @@ def factor(A: jax.Array, d2: jax.Array, opts: SolverOptions,
             L, W = L[0], W[0]
         else:
             # hybrid: XLA's potrf for the factor; diag-block inverses via
-            # the nilpotent log-squaring product (the same closed form the
-            # Pallas kernel uses) — 14 batched MXU matmuls, ~6x cheaper
-            # than a vmapped triangular solve against the identity.
+            # the recursive trtri-style combine below (same scheme the
+            # Pallas kernel uses in-kernel) — batched MXU matmuls, ~6x
+            # cheaper than a vmapped triangular solve against the identity.
             L = jnp.linalg.cholesky(Mp.astype(jnp.float32))
             nblk = m_pad // pk.NB
             blocks = jnp.stack([L[k * pk.NB:(k + 1) * pk.NB,
@@ -157,6 +157,16 @@ def _invert_lower_blocks(blocks: jax.Array, base: int = 32) -> jax.Array:
     return jnp.concatenate([top, bot], axis=1)
 
 
+def use_fused_matvec(opts: SolverOptions, A: jax.Array) -> bool:
+    """Static (trace-time) eligibility for the fused A-resident kernel."""
+    if opts.matvec_backend != "fused" or A.dtype != jnp.float32:
+        return False
+    if opts.linsys != "dense":
+        return False
+    from ipx.kernels import fused as fk
+    return fk.stripe_width(A.shape[-2], A.shape[-1]) is not None
+
+
 def _chol_solve(fac: NormalEqFactor, rhs: jax.Array, backend: str) -> jax.Array:
     if backend in ("pallas", "hybrid"):
         from ipx.kernels import cholesky as pk
@@ -195,9 +205,17 @@ def solve(fac: NormalEqFactor, A: jax.Array, rhs: jax.Array,
     dt = rhs.dtype
     tiny = jnp.asarray(jnp.finfo(dt).tiny, dt)
 
-    def op_true(v):
-        # matrix-free through A at HIGHEST: the accuracy reference
-        return mv(A, fac.d2 * mv(A.T, v, prec), prec)
+    if use_fused_matvec(opts, A):
+        from ipx.kernels import fused as fk
+
+        def op_true(v):
+            # one A stream: stripe-fused A (d2 (A^T v)) — same HIGHEST-
+            # precision contractions as the XLA route, half the HBM traffic
+            return fk.ata_apply(A, v, fac.d2, None)[0]
+    else:
+        def op_true(v):
+            # matrix-free through A at HIGHEST: the accuracy reference
+            return mv(A, fac.d2 * mv(A.T, v, prec), prec)
 
     if opts.cg_operator == "assembled":
         # Defect correction: the INITIAL residual is computed matrix-free

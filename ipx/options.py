@@ -109,6 +109,12 @@ class SolverOptions:
     chol_backend: str = "xla"   # "xla" (jnp.linalg.cholesky + XLA trsm)
                                 # | "pallas" (Mosaic factor + fused solves)
                                 # | "hybrid" (XLA potrf + Pallas fused solves)
+    # Matvec backend for the f32 dense route: "fused" evaluates the
+    # matrix-free normal operator / KKT-refinement rhs with the A-resident
+    # Pallas stripe kernel (ipx/kernels/fused.py) — ONE stream of A where
+    # the XLA route needs two or three.  Auto-falls back to "xla" for f64,
+    # non-dense linsys, or shapes without a 128-multiple column divisor.
+    matvec_backend: str = "xla"  # "xla" | "fused"
     cg_iters_sharded: int = 40  # CG iterations for the sharded (config 4)
                                 # block-Jacobi-preconditioned normal solve
 

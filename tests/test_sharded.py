@@ -62,3 +62,29 @@ def test_solve_large_rejects_indivisible():
     mesh = meshlib.make_mesh(batch=1, row=8)
     with pytest.raises(ValueError):
         ipx.solve_large(g.c, g.A, g.b, mesh=mesh)
+
+
+@needs_8
+def test_sharded_midsize_matches_dense():
+    """VERDICT r1 item 4: mid-size (512 x 1024, p=8) sharded-vs-dense
+    equality — the distributed blocked Cholesky + substitutions at a panel
+    size (64 x 512) where blocking/indexing bugs can't hide in toy shapes."""
+    rng = np.random.default_rng(3)
+    m, n = 512, 1024
+    A = jnp.asarray(rng.standard_normal((m, n)) / np.sqrt(n), jnp.float32)
+    d2 = jnp.asarray(rng.uniform(0.1, 10.0, n), jnp.float32)
+    rhs = jnp.asarray(rng.standard_normal(m), jnp.float32)
+
+    dense_opts = ipx.SolverOptions(dtype="float32")
+    fac_d = normal_eq.factor(A, d2, dense_opts)
+    y_dense = normal_eq.solve(fac_d, A, rhs, dense_opts)
+
+    mesh = meshlib.make_mesh(batch=1, row=8)
+    sh_opts = dense_opts.replace(linsys="sharded")
+    with schur.use_mesh(mesh):
+        fac_s = normal_eq.factor(A, d2, sh_opts)
+        y_sh = normal_eq.solve(fac_s, A, rhs, sh_opts)
+    # both routes solve the same (well-regularized) system with CG on the
+    # true operator: answers agree to f32 solve accuracy
+    np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_dense),
+                               rtol=5e-3, atol=5e-4)
