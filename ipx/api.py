@@ -76,6 +76,13 @@ def _run_batch(lp: LP, opts: SolverOptions) -> IPMState:
     return batched.run_batch(lp, opts)
 
 
+@partial(jax.jit, static_argnums=(1,))
+def _run_batch_resumed(lp: LP, opts: SolverOptions,
+                       state0: IPMState) -> IPMState:
+    from ipx.ipm import batched
+    return batched.run_batch(lp, opts, state0)
+
+
 def _state_to_solution(lp: LP, st, obj_offset: float = 0.0) -> Solution:
     # Report the best-merit iterate visited (equals the final iterate on a
     # clean OPTIMAL exit; shields MAX_ITER/STALLED/FAILED exits from late
@@ -454,6 +461,43 @@ def solve_batch(lps, options: Optional[SolverOptions] = None) -> list:
     st_h = jax.tree_util.tree_map(np.asarray, st)
     blp_h = jax.tree_util.tree_map(np.asarray, blp)
     rescue = (int(Status.STALLED), int(Status.NUMERICAL_FAILURE))
+
+    # Batched ON-DEVICE rescue (VERDICT r1 item 6): broken members
+    # (degenerate conditioning floor) are gathered into ONE sub-batch and
+    # re-run through the vmap-safe Schur-form quasi-definite augmented
+    # route (linsys="augmented_schur"), warm-started from their best
+    # iterates — one device program instead of a host loop of single
+    # solves.  Any member the batched pass does not bring to OPTIMAL falls
+    # through to the per-member LU fallback below (the gold-standard
+    # single-instance robustness mode).
+    bad = [i for i in range(batch)
+           if int(st_h.status[i]) in rescue]
+    if bad and opts.augmented_fallback and opts.linsys == "dense":
+        import jax.numpy as jnp
+        from ipx.ipm import mehrotra, batched as batched_mod
+
+        idx = np.asarray(bad)
+        sub_lp = jax.tree_util.tree_map(
+            lambda leaf: jnp.asarray(leaf[idx]), blp_h)
+        aug = opts.replace(linsys="augmented_schur")
+        state0 = jax.vmap(
+            lambda lp_i, x, y, s: mehrotra.warm_start_state(
+                lp_i, x, y, s, aug))(
+            sub_lp, jnp.asarray(st_h.best_x[idx]),
+            jnp.asarray(st_h.best_y[idx]), jnp.asarray(st_h.best_s[idx]))
+        sub_st = jax.tree_util.tree_map(
+            np.asarray, _run_batch_resumed(sub_lp, aug, state0))
+        fixed = np.asarray(sub_st.status) == int(Status.OPTIMAL)
+        if fixed.any():
+            take = idx[fixed]
+
+            def merge(a, b):
+                a = a.copy()
+                a[take] = b[fixed]
+                return a
+
+            st_h = jax.tree_util.tree_map(merge, st_h, sub_st)
+
     sols = []
     for i in range(batch):
         lp_i = jax.tree_util.tree_map(lambda leaf: leaf[i], blp_h)

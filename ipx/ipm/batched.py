@@ -50,15 +50,21 @@ def batch_starting_state(lp: LP, opts: SolverOptions):
     return jax.vmap(start)(lp)
 
 
-def run_batch(lp: LP, opts: SolverOptions) -> IPMState:
+def run_batch(lp: LP, opts: SolverOptions,
+              state0: IPMState | None = None) -> IPMState:
     """Solve a batch of LPs in one jitted while_loop.  Jit-compatible.
 
     The loop condition is ``any(instance still RUNNING)`` — converged
     instances are frozen (their state no longer changes) but still ride along
     until the slowest instance finishes (SURVEY.md §7 hard part 5; tail
     latency is a bucketing concern for the problem layer).
+
+    ``state0`` resumes/warm-starts the whole batch (the batched augmented
+    rescue path in ipx.api.solve_batch uses this).
     """
-    state0, fac_aat = batch_starting_state(lp, opts)
+    start, fac_aat = batch_starting_state(lp, opts)
+    if state0 is None:
+        state0 = start
     step = jax.vmap(
         lambda lp_i, st, f: mehrotra.step_masked(lp_i, st, opts, f))
 

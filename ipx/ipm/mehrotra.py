@@ -123,7 +123,8 @@ def mehrotra_step(lp: LP, state: IPMState, opts: SolverOptions,
     # through the AA^T factor re-injects the squared-conditioning noise the
     # augmented route exists to avoid (measured: flips 3/4 degenerate
     # instances from OPTIMAL to STALLED).
-    do_project = opts.project_feasibility and opts.linsys != "augmented"
+    do_project = (opts.project_feasibility
+                  and not opts.linsys.startswith("augmented"))
 
     # --- factor A D^2 A^T once, reuse for both solves (R5, R6) -------------
     # d2 is deliberately NOT range-clipped: huge x/s entries (effectively
@@ -142,6 +143,10 @@ def mehrotra_step(lp: LP, state: IPMState, opts: SolverOptions,
         if opts.linsys == "augmented":
             from ipx.linsys import augmented
             return augmented.solve_newton(fac, A, x, s, e_p, e_d, e_xs, opts)
+        if opts.linsys == "augmented_schur":
+            from ipx.linsys import augmented
+            return augmented.solve_newton_schur(fac, A, x, s, e_p, e_d,
+                                                e_xs, opts)
         rhs = -e_p - mv(A, d2 * e_d - e_xs / s, prec)
         dy = normal_eq.solve(fac, A, rhs, opts)
         ds = -e_d - mv(A.T, dy, prec)

@@ -80,6 +80,9 @@ def factor(A: jax.Array, d2: jax.Array, opts: SolverOptions,
     if opts.linsys == "augmented":
         from ipx.linsys import augmented
         return augmented.factor(A, d2, opts, reg_scale)
+    if opts.linsys == "augmented_schur":
+        from ipx.linsys import augmented
+        return augmented.factor_schur(A, d2, opts, reg_scale)
     M = assemble(A, d2, opts.assembly_precision)
     m = M.shape[-1]
     diag = jnp.diagonal(M)
@@ -200,6 +203,9 @@ def solve(fac: NormalEqFactor, A: jax.Array, rhs: jax.Array,
     if opts.linsys == "augmented":
         from ipx.linsys import augmented
         return augmented.normal_solve(fac, A, rhs, opts)
+    if opts.linsys == "augmented_schur":
+        from ipx.linsys import augmented
+        return augmented.normal_solve_schur(fac, A, rhs, opts)
 
     prec = opts.matmul_precision
     dt = rhs.dtype

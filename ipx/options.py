@@ -100,8 +100,17 @@ class SolverOptions:
                                 # | "augmented" (quasi-definite KKT LU —
                                 #   robustness mode: no condition squaring,
                                 #   cracks the degenerate sqrt(eps) floor)
+                                # | "augmented_schur" (same quasi-definite
+                                #   system reduced to an m x m batched
+                                #   Cholesky by analytic elimination of the
+                                #   diagonal (1,1) block — the VMAP-SAFE
+                                #   rescue used in-batch by solve_batch)
     aug_reg: float = 1e-6       # primal/dual regularization of the
-                                # augmented matrix (linsys="augmented")
+                                # augmented matrix (linsys="augmented");
+                                # for "augmented_schur" it caps the reduced
+                                # scaling at 1/aug_reg
+    aug_schur_refine: int = 5   # outer refinement sweeps of the Schur-form
+                                # augmented route against the TRUE operator
     # When a dense-route single solve exits STALLED/MAX_ITER, retry once
     # with the augmented system warm-started from the best iterate (the
     # stall is usually the degenerate conditioning floor).
