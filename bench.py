@@ -37,6 +37,15 @@ def main() -> int:
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--quick", action="store_true",
                    help="small shapes for smoke-testing the harness")
+    p.add_argument("--chol-backend", choices=["xla", "pallas", "hybrid"],
+                   default="hybrid",
+                   help="factorization backend A/B (production: hybrid)")
+    p.add_argument("--a-storage", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="store the batch's A tensors bf16 (halves HBM "
+                        "residency + every A stream; instances are "
+                        "generated with bf16-representable A so the LPs "
+                        "are exact — see SolverOptions.a_storage)")
     args = p.parse_args()
 
     import jax
@@ -53,8 +62,10 @@ def main() -> int:
     platform = dev.platform
 
     if args.batch == 0:
-        # Working set per instance ~ A (m*n) + M,L (2*m^2) + vectors, f32.
-        per_inst = 4 * (args.m * args.n + 2 * args.m * args.m + 8 * args.n)
+        # Working set per instance ~ A (m*n) + M,L (2*m^2) + vectors.
+        a_item = 2 if args.a_storage == "bfloat16" else 4
+        per_inst = (a_item * args.m * args.n
+                    + 4 * (2 * args.m * args.m + 8 * args.n))
         hbm = getattr(dev, "memory_stats", lambda: None)()
         avail = (hbm or {}).get("bytes_limit", 8 << 30)
         budget = int(0.5 * avail)
@@ -69,8 +80,9 @@ def main() -> int:
     # The correctness probe below runs the SAME config to convergence and
     # reports its achieved rel gap alongside the timing.
     opts = ipx.SolverOptions(dtype="float32", max_iter=args.iters + 1,
-                             chol_backend="hybrid", refine_steps=1,
-                             matvec_backend="fused")
+                             chol_backend=args.chol_backend, refine_steps=1,
+                             matvec_backend="fused",
+                             a_storage=args.a_storage)
 
     # --- build batch (ON DEVICE) --------------------------------------------
     # Every instance is DISTINCT (VERDICT r1 weak #4), generated directly on
@@ -84,13 +96,19 @@ def main() -> int:
         k1, k2, k3, k4, k5 = jax.random.split(k, 5)
         A = jax.random.normal(k1, (m, n), jnp.float32) / jnp.sqrt(
             jnp.asarray(n, jnp.float32))
+        if args.a_storage == "bfloat16":
+            # round the DATA to bf16 so bf16 storage is lossless: b and c
+            # are then computed from the rounded A, keeping the constructed
+            # optimum (x*, y*, s*) exact for the solved instance
+            A = A.astype(jnp.bfloat16)
+        Af = A.astype(jnp.float32)
         perm = jax.random.permutation(k2, n)
         x_star = jnp.zeros(n, jnp.float32).at[perm[:m]].set(
             jax.random.uniform(k3, (m,), jnp.float32, 0.5, 2.0))
         s_star = jnp.zeros(n, jnp.float32).at[perm[m:]].set(
             jax.random.uniform(k4, (n - m,), jnp.float32, 0.5, 2.0))
         y_star = jax.random.normal(k5, (m,), jnp.float32)
-        return A.T @ y_star + s_star, A, A @ x_star
+        return Af.T @ y_star + s_star, A, Af @ x_star
 
     c_d, A_d, b_d = jax.jit(jax.vmap(_gen_one))(
         jax.random.split(jax.random.PRNGKey(0), B))
@@ -141,9 +159,10 @@ def main() -> int:
     probe = jax.tree_util.tree_map(lambda leaf: leaf[:probe_B], blp)
     sols = ipx.solve_batch(
         probe, options=ipx.SolverOptions(dtype="float32", max_iter=48,
-                                         chol_backend="hybrid",
+                                         chol_backend=args.chol_backend,
                                          refine_steps=1,
-                                         matvec_backend="fused"))
+                                         matvec_backend="fused",
+                                         a_storage=args.a_storage))
     gaps = [s.rel_gap for s in sols]
     n_opt = sum(s.optimal for s in sols)
     iters = [s.iterations for s in sols]
@@ -166,10 +185,14 @@ def main() -> int:
     out = {
         "metric": "instance_ipm_iters_per_s_per_chip",
         "value": round(instance_iters_per_s, 2),
-        "unit": f"instance-iters/s (batch={B}, m={m}, n={n}, f32)",
+        "unit": (f"instance-iters/s (batch={B}, m={m}, n={n}, f32"
+                 + (", A stored bf16)" if args.a_storage == "bfloat16"
+                    else ")")),
         "vs_baseline": round(instance_iters_per_s / TARGET_INSTANCE_ITERS_PER_S, 4),
         "detail": {
             "platform": platform,
+            "chol_backend": args.chol_backend,
+            "a_storage": args.a_storage,
             "batched_iters_per_s": round(batched_iters_per_s, 3),
             "sec_per_batched_iter": round(t_iter, 5),
             "batch": B, "m": m, "n": n,
@@ -180,6 +203,9 @@ def main() -> int:
             "est_tflops": round(est_tflops, 2),
             "flop_model": "B*(2*m^2*n + m^3/3) per batched iter",
             "mfu_vs_bf16_peak": round(mfu, 4) if mfu is not None else None,
+            "peak_bytes_in_use": (getattr(dev, "memory_stats",
+                                          lambda: None)() or {}
+                                  ).get("peak_bytes_in_use"),
         },
     }
     print(json.dumps(out))

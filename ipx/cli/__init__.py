@@ -25,6 +25,12 @@ def _add_solver_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--dtype", choices=["float32", "float64"], default=None)
     p.add_argument("--chol-backend", choices=["xla", "pallas", "hybrid"],
                    default=None)
+    p.add_argument("--matvec-backend", choices=["xla", "fused"],
+                   default=None)
+    p.add_argument("--a-storage", choices=["float32", "bfloat16"],
+                   default=None)
+    p.add_argument("--linsys", choices=["dense", "sharded", "augmented",
+                                        "augmented_schur"], default=None)
     p.add_argument("--cg-operator", choices=["matrix_free", "assembled"],
                    default=None)
     p.add_argument("--refine-steps", type=int, default=None)
@@ -42,6 +48,9 @@ def _build_options(args):
     kw = {}
     for flag, field in [("tol", "tol"), ("max_iter", "max_iter"),
                         ("dtype", "dtype"), ("chol_backend", "chol_backend"),
+                        ("matvec_backend", "matvec_backend"),
+                        ("a_storage", "a_storage"),
+                        ("linsys", "linsys"),
                         ("cg_operator", "cg_operator"),
                         ("refine_steps", "refine_steps"),
                         ("kkt_refine_steps", "kkt_refine_steps")]:

@@ -47,7 +47,7 @@ def batch_starting_state(lp: LP, opts: SolverOptions):
         mu0 = jnp.vdot(x0, s0) / lp_i.n
         return init_state(x0, y0, s0, mu0, opts.max_iter), fac
 
-    return jax.vmap(start)(lp)
+    return jax.vmap(start)(lp.with_a_storage(opts))
 
 
 def run_batch(lp: LP, opts: SolverOptions,
@@ -62,6 +62,7 @@ def run_batch(lp: LP, opts: SolverOptions,
     ``state0`` resumes/warm-starts the whole batch (the batched augmented
     rescue path in ipx.api.solve_batch uses this).
     """
+    lp = lp.with_a_storage(opts)
     start, fac_aat = batch_starting_state(lp, opts)
     if state0 is None:
         state0 = start
@@ -88,6 +89,7 @@ def run_batch_fixed_iters(lp: LP, state: IPMState, num_iters: int,
     assembly + factorization + 2 solves + reductions — without convergence
     control flow.  Used by bench.py for the iterations/s/chip metric.
     """
+    lp = lp.with_a_storage(opts)
     if fac_aat is None:
         step = jax.vmap(
             lambda lp_i, st: mehrotra.mehrotra_step(lp_i, st, opts))

@@ -290,10 +290,25 @@ def mehrotra_step(lp: LP, state: IPMState, opts: SolverOptions,
         r_xs = v - jnp.clip(v, lo, hi)       # nonzero only for outliers
         ddx, ddy, dds = newton_direction(
             jnp.zeros_like(rp), jnp.zeros_like(rd), r_xs)
+        # refine the correction itself (one sweep): round 1 measured that
+        # the UNREFINED correction degrades the refined+projected base
+        # direction in f32 — the refined form is what makes Gondzio
+        # correctors f32-viable (STATUS r1 roadmap #3)
+        e_p2 = mv(A, ddx, prec)
+        e_d2 = mv(A.T, ddy, prec) + dds
+        e_xs2 = r_xs + s * ddx + x * dds
+        d3x, d3y, d3s = newton_direction(e_p2, e_d2, e_xs2)
+        ddx, ddy, dds = ddx + d3x, ddy + d3y, dds + d3s
         dx_c, dy_c, ds_c = dx + ddx, dy + ddy, ds + dds
         a_p_c = jnp.minimum(one, max_step(x, dx_c))
         a_d_c = jnp.minimum(one, max_step(s, ds_c))
-        better_c = (a_p_c + a_d_c) > (a_p + a_d)
+        # accept only a MATERIAL step gain (margin 0.01) and only OUTSIDE
+        # the f32 endgame (mu still > 1e-4 mu0): marginal "wins" and
+        # endgame corrections were both measured to swap a refined+projected
+        # direction for a noisier one and occasionally stall convergence
+        endgame = mu < jnp.asarray(1e-4, dtype) * state.mu0
+        better_c = (~endgame) & ((a_p_c + a_d_c)
+                                 > (a_p + a_d + jnp.asarray(0.01, dtype)))
         dx = jnp.where(better_c, dx_c, dx)
         dy = jnp.where(better_c, dy_c, dy)
         ds = jnp.where(better_c, ds_c, ds)
@@ -485,6 +500,7 @@ def run_single(lp: LP, opts: SolverOptions, state0: IPMState | None = None
     warm start (see :func:`warm_start_state`): the iterate is the complete
     algorithm state, so a warm restart continues exactly; only the
     loop-invariant AA^T factor is recomputed."""
+    lp = lp.with_a_storage(opts)
     x0, y0, s0, fac_aat = starting_point(lp, opts)
     if state0 is None:
         mu0 = jnp.vdot(x0, s0) / lp.n

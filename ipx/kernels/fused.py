@@ -40,12 +40,15 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def stripe_width(m: int, n: int) -> int | None:
+def stripe_width(m: int, n: int, itemsize: int = 4) -> int | None:
     """Largest column-stripe width that (a) divides n, (b) is a multiple of
-    the 128 lane width, (c) keeps the double-buffered A block under ~2MB of
-    VMEM.  None when n has no 128-multiple divisor (caller falls back to
-    XLA matmuls)."""
-    budget = (2 << 20) // (4 * max(m, 1))          # f32 block rows = m
+    the 128 lane width, (c) keeps the stripe's VMEM footprint under ~2MB.
+    For a bf16-stored A that footprint counts BOTH the stored block and its
+    in-kernel f32 upcast (measured: budgeting only the stored bytes
+    VMEM-OOMed at m=1024, n=2048 — 21.3MB scoped).  None when n has no
+    128-multiple divisor (caller falls back to XLA matmuls)."""
+    per_elem = itemsize + (4 if itemsize < 4 else 0)
+    budget = (2 << 20) // (per_elem * max(m, 1))   # block rows = m
     best = None
     for w in range(128, n + 1, 128):
         if n % w == 0 and w <= max(budget, 128):
@@ -55,7 +58,10 @@ def stripe_width(m: int, n: int) -> int | None:
 
 def _ata_kernel(vm_ref, alpha_ref, beta_ref, wn_ref, a_ref, y_ref, t_ref):
     s = pl.program_id(0)
-    Ab = a_ref[:]                                   # (m, NS)
+    # A may be STORED bf16 (SolverOptions.a_storage): the HBM->VMEM stream
+    # is then half-width; the in-register upcast is free and the f32
+    # contractions below are exact in the stored values either way.
+    Ab = a_ref[:].astype(jnp.float32)               # (m, NS)
     t = jax.lax.dot_general(vm_ref[:], Ab, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
                             precision=_HP)          # (1, NS) = vm @ A_S
@@ -118,11 +124,11 @@ def ata_apply(A: jax.Array, vm: jax.Array, alpha, wn, beta=None):
     not None.
     """
     m, n = A.shape
-    ns = stripe_width(m, n)
+    ns = stripe_width(m, n, A.dtype.itemsize)
     zero_n = jnp.zeros((1, n), jnp.float32)
     vm2 = vm.reshape(1, m).astype(jnp.float32)
     alpha2 = zero_n if alpha is None else alpha.reshape(1, n).astype(jnp.float32)
     beta2 = zero_n if beta is None else beta.reshape(1, n).astype(jnp.float32)
     wn2 = zero_n if wn is None else wn.reshape(1, n).astype(jnp.float32)
-    y2, t2 = _ata_apply_2d(A.astype(jnp.float32), vm2, alpha2, beta2, wn2, ns)
+    y2, t2 = _ata_apply_2d(A, vm2, alpha2, beta2, wn2, ns)
     return y2[0], t2[0]

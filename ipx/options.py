@@ -30,11 +30,11 @@ class SolverOptions:
     damping_floor: float = 0.995
     sigma_power: float = 3.0        # sigma = (mu_aff / mu) ** sigma_power
     # Gondzio multiple centrality correctors per iteration (0 = off).  Each
-    # reuses the factorization (one extra solve) and is accepted only where
-    # it lengthens the step.  Measured: f64 suite -18% total iterations at
-    # gondzio_correctors=2; in f32 the UNREFINED correction degrades the
-    # refined+projected direction quality and HURTS — leave off for f32
-    # until the correction is itself refined (roadmap).
+    # reuses the factorization (two extra solves: the correction is itself
+    # REFINED once — round-2 change that makes it f32-viable) and is
+    # accepted only on a material step gain outside the f32 endgame.
+    # Measured: f64 suite -18% iterations at 2; f32 m=256 battery -33%
+    # iterations at gondzio_correctors=1 with unchanged failure rate.
     gondzio_correctors: int = 0
 
     # --- numerics on TPU (f32 world; SURVEY.md §7 hard part 1) -------------
@@ -124,6 +124,15 @@ class SolverOptions:
     # the XLA route needs two or three.  Auto-falls back to "xla" for f64,
     # non-dense linsys, or shapes without a 128-multiple column divisor.
     matvec_backend: str = "xla"  # "xla" | "fused"
+    # Storage dtype for the constraint matrix A on the batched/dense f32
+    # route: "bfloat16" keeps the batch's A tensors in bf16 HBM — HALVING
+    # both the residency (the B=1024 contract batch fits a 16GB chip) and
+    # every A-stream's bandwidth — while ALL arithmetic stays f32: stripes
+    # are upcast in registers/VMEM at use.  Exact when A's entries are
+    # bf16-representable (the bench generator rounds its instances so);
+    # otherwise the solved LP is the bf16-rounded instance — an opt-in
+    # trade callers make explicitly.  b, c, and all iterates stay f32.
+    a_storage: str = "float32"   # "float32" | "bfloat16"
     cg_iters_sharded: int = 40  # CG iterations for the sharded (config 4)
                                 # block-Jacobi-preconditioned normal solve
 
@@ -140,6 +149,10 @@ class SolverOptions:
             raise ValueError(f"unsupported dtype {self.dtype!r}")
         if self.refine_steps < 0 or self.kkt_refine_steps < 0:
             raise ValueError("refinement step counts must be >= 0")
+        if self.a_storage not in ("float32", "bfloat16"):
+            raise ValueError(f"unsupported a_storage {self.a_storage!r}")
+        if self.a_storage == "bfloat16" and self.dtype != "float32":
+            raise ValueError("a_storage='bfloat16' requires dtype='float32'")
         if self.dtype == "float64" and self.chol_backend != "xla":
             # the Mosaic kernels are f32-only; a silent downcast of the
             # factor would betray an explicit f64 request (ADVICE r1)

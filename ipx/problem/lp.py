@@ -48,6 +48,18 @@ class LP:
             obj_offset=jnp.asarray(self.obj_offset, dtype),
         )
 
+    def with_a_storage(self, opts) -> "LP":
+        """Apply ``SolverOptions.a_storage``: store A bf16 (see options.py).
+
+        The cast is the ONLY place the storage dtype enters — consumers
+        upcast at use (XLA fuses the convert into each A-stream, the fused
+        Pallas kernel upcasts in VMEM), so b, c, iterates, and every
+        contraction stay f32.  Idempotent; a no-op for a_storage='float32'.
+        """
+        if opts.a_storage == "bfloat16" and self.A.dtype != jnp.bfloat16:
+            return dataclasses.replace(self, A=self.A.astype(jnp.bfloat16))
+        return self
+
 
 def make_lp(c, A, b, obj_offset=0.0, dtype=None) -> LP:
     """Build an ``LP`` from array-likes, with optional dtype cast."""
