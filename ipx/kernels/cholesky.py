@@ -7,8 +7,10 @@ here they are Mosaic kernels designed around the MXU.
 Design (right-looking blocked factorization, block size NB=128 = MXU tile):
 
   for each panel k:
-    1. factor the NB x NB diagonal block with an in-register column loop,
-       CO-COMPUTING inv(L_kk) by forward substitution in the same loop;
+    1. factor the NB x NB diagonal block TWO-LEVEL (32-wide sub-panels:
+       short masked column loops + MXU sub-TRSM/syrk), assembling inv(L_kk)
+       from the sub-block inverses by trtri-style combines — phase A,
+       batched over many instances since only the blocks live in VMEM;
     2. panel TRSM becomes an MXU matmul:  L[below,k] = A[below,k] @ inv(L_kk)^T
     3. trailing update is an MXU syrk:    A[rest,rest] -= P @ P^T
 
@@ -46,53 +48,6 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _factor_diag_blocks(blk):
-    """Batched Cholesky of (BS, NB, NB) SPD blocks + inverses of the factors.
-
-    Column loop j = 0..NB-1, VECTORIZED over the BS sub-batch — this is the
-    kernel's only sequential chain, so amortizing it across instances is the
-    key throughput trick.  Each step is the rank-1 right-looking elimination
-    for L's column j; all indexing is via iota masks — Mosaic has no
-    dynamic_slice on values, and (BS,1,1) layouts are unsupported, so the
-    pivot is replicated across a row by a ones-matmul.
-
-    The factor INVERSE is NOT accumulated in the loop (that recurrence was
-    ~40% of the sequential cost); it comes from :func:`_invert_lower_stable`
-    afterwards — the backward-stable trtri-style recursion (substitution
-    base + block combines), matching the XLA-level hybrid path
-    (ipx/linsys/normal_eq.py).  A closed-form nilpotent log-squaring product
-    was used in round 1 and REMOVED: its large intermediate N-powers leak
-    f32 rounding on ill-conditioned endgame blocks (VERDICT r1 weak #2).
-    """
-    bs, q, _ = blk.shape
-    dt = blk.dtype
-    rows = jax.lax.broadcasted_iota(jnp.int32, (1, q, q), 1)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (1, q, q), 2)
-    rows_c = jax.lax.broadcasted_iota(jnp.int32, (1, q, 1), 1)
-    tiny = jnp.asarray(jnp.finfo(dt).tiny, dt)
-    zero = jnp.zeros((), dt)
-    ones = jnp.ones_like(blk)
-
-    def body(j, carry):
-        a, L = carry
-        d_row = jnp.sum(jnp.where((rows == j) & (cols == j), a, zero),
-                        axis=1, keepdims=True)                   # (BS,1,q)
-        ajj_row = jax.lax.dot_general(
-            d_row, ones, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=dt, precision=_HP)            # replicated
-        inv_piv_col = jnp.swapaxes(
-            jax.lax.rsqrt(jnp.maximum(ajj_row, tiny)), 1, 2)     # (BS,q,1)
-        col = jnp.sum(jnp.where(cols == j, a, zero), axis=2,
-                      keepdims=True)                              # (BS,q,1)
-        l = jnp.where(rows_c >= j, col * inv_piv_col, zero)
-        a = a - l * jnp.swapaxes(l, 1, 2)                         # rank-1
-        L = jnp.where(cols == j, l, L)
-        return a, L
-
-    _, L = jax.lax.fori_loop(0, q, body, (blk, jnp.zeros_like(blk)))
-    return L, _invert_lower_stable(L)
-
-
 def _subst_invert(T):
     """Batched inv of small (K, h, h) lower-triangular blocks by ROW-WISE
     forward substitution — the kernel-side equivalent of the backward-stable
@@ -127,6 +82,18 @@ def _subst_invert(T):
     return jax.lax.fori_loop(0, h, body, jnp.zeros_like(T))
 
 
+def _combine_lower_inv(Wtop, Wbot, Bblk):
+    """One trtri combine level:  inv([[A,0],[B,C]]) = [[iA,0],[-iC B iA,iC]]
+    given iA = Wtop, iC = Wbot, B = Bblk — two batched MXU matmuls."""
+    bs, w, _ = Wtop.shape
+    dt = Wtop.dtype
+    off = -_bmm(Wbot, _bmm(Bblk, Wtop))
+    top = jnp.concatenate([Wtop, jnp.zeros((bs, w, Wbot.shape[-1]), dt)],
+                          axis=2)
+    bot = jnp.concatenate([off, Wbot], axis=2)
+    return jnp.concatenate([top, bot], axis=1)
+
+
 def _invert_lower_stable(L):
     """inv of (BS, q, q) lower-triangular factors, LAPACK-trtri style:
     the q/4-sized diagonal sub-blocks are inverted by batched forward
@@ -140,7 +107,6 @@ def _invert_lower_stable(L):
     cost a convergence probe; see VERDICT r1 / STATUS roadmap #1).
     """
     bs, q, _ = L.shape
-    dt = L.dtype
     h = q // 4
 
     subs = jnp.concatenate([L[:, i * h:(i + 1) * h, i * h:(i + 1) * h]
@@ -148,16 +114,94 @@ def _invert_lower_stable(L):
     Wd = _subst_invert(subs)
     W0, W1, W2, W3 = (Wd[i * bs:(i + 1) * bs] for i in range(4))
 
-    def combine(Wtop, Wbot, Bblk):
-        w = Wtop.shape[-1]
-        off = -_bmm(Wbot, _bmm(Bblk, Wtop))
-        top = jnp.concatenate([Wtop, jnp.zeros((bs, w, w), dt)], axis=2)
-        bot = jnp.concatenate([off, Wbot], axis=2)
-        return jnp.concatenate([top, bot], axis=1)
+    W01 = _combine_lower_inv(W0, W1, L[:, h:2 * h, 0:h])
+    W23 = _combine_lower_inv(W2, W3, L[:, 3 * h:4 * h, 2 * h:3 * h])
+    return _combine_lower_inv(W01, W23, L[:, 2 * h:4 * h, 0:2 * h])
 
-    W01 = combine(W0, W1, L[:, h:2 * h, 0:h])
-    W23 = combine(W2, W3, L[:, 3 * h:4 * h, 2 * h:3 * h])
-    return combine(W01, W23, L[:, 2 * h:4 * h, 0:2 * h])
+
+def _factor_block_twolevel(blk, h: int = 32):
+    """Two-level batched Cholesky of (BS, NB, NB) SPD blocks + factor inverse.
+
+    The single-level column loop (:func:`_factor_diag_blocks`) runs NB
+    sequential steps on full (BS, NB, NB) arrays; here the block is factored
+    through NB/h right-looking panel steps whose sequential chains (an
+    h-wide column loop + an h-step substitution inverse) touch only
+    (BS, h, h) sub-blocks — ~(NB/h)^2 x less VPU work per sequential step.
+    The panel TRSM and trailing syrk become batched MXU matmuls, and the
+    sub-block inverses needed for the TRSM are exactly the substitution
+    bases of the trtri combines, so inv(L) is assembled from work already
+    done (two combine levels for NB/h = 4).
+    """
+    bs, q, _ = blk.shape
+    dt = blk.dtype
+    nsub = q // h
+    assert nsub == 4, "two-level factor assumes NB/h == 4"
+
+    a_trail = blk                       # shrinking (BS, r, r) trailing block
+    col_blocks = []                     # full-height (BS, q, h) L columns
+    winvs = []                          # (BS, h, h) inv of diag sub-blocks
+    for i in range(nsub):
+        o = i * h
+        D = a_trail[:, :h, :h]
+        Ld = _chol_small(D)
+        Wd = _subst_invert(Ld)
+        winvs.append(Wd)
+        if i < nsub - 1:
+            below = a_trail[:, h:, :h]                       # (BS, r, h)
+            Lb = _bmm(below, jnp.swapaxes(Wd, 1, 2))
+            a_trail = (a_trail[:, h:, h:]
+                       - _bmm(Lb, jnp.swapaxes(Lb, 1, 2)))
+            col = jnp.concatenate(
+                [jnp.zeros((bs, o, h), dt), Ld, Lb], axis=1)
+        else:
+            col = jnp.concatenate(
+                [jnp.zeros((bs, o, h), dt), Ld], axis=1)
+        col_blocks.append(col)
+    L = jnp.concatenate(col_blocks, axis=2)                  # (BS, q, q)
+
+    W01 = _combine_lower_inv(winvs[0], winvs[1], L[:, h:2 * h, 0:h])
+    W23 = _combine_lower_inv(winvs[2], winvs[3],
+                             L[:, 3 * h:4 * h, 2 * h:3 * h])
+    W = _combine_lower_inv(W01, W23, L[:, 2 * h:4 * h, 0:2 * h])
+    return L, W
+
+
+def _chol_small(blk):
+    """Batched Cholesky factor of (BS, h, h) SPD blocks.
+
+    Column loop j = 0..h-1, VECTORIZED over the sub-batch — a sequential
+    chain, so amortizing it across instances and keeping h small (the
+    two-level scheme) is the throughput trick.  Each step is the rank-1
+    right-looking elimination for L's column j; all indexing is via iota
+    masks — Mosaic has no dynamic_slice on values, and (BS,1,1) layouts are
+    unsupported, so the pivot is replicated across a row by a ones-matmul.
+    """
+    bs, q, _ = blk.shape
+    dt = blk.dtype
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, q, q), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, q, q), 2)
+    rows_c = jax.lax.broadcasted_iota(jnp.int32, (1, q, 1), 1)
+    tiny = jnp.asarray(jnp.finfo(dt).tiny, dt)
+    zero = jnp.zeros((), dt)
+    ones = jnp.ones_like(blk)
+
+    def body(j, carry):
+        a, L = carry
+        d_row = jnp.sum(jnp.where((rows == j) & (cols == j), a, zero),
+                        axis=1, keepdims=True)
+        ajj_row = jax.lax.dot_general(
+            d_row, ones, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=dt, precision=_HP)
+        inv_piv_col = jnp.swapaxes(
+            jax.lax.rsqrt(jnp.maximum(ajj_row, tiny)), 1, 2)
+        col = jnp.sum(jnp.where(cols == j, a, zero), axis=2, keepdims=True)
+        l = jnp.where(rows_c >= j, col * inv_piv_col, zero)
+        a = a - l * jnp.swapaxes(l, 1, 2)
+        L = jnp.where(cols == j, l, L)
+        return a, L
+
+    _, L = jax.lax.fori_loop(0, q, body, (blk, jnp.zeros_like(blk)))
+    return L
 
 
 def _bmm(a, b):
@@ -167,17 +211,25 @@ def _bmm(a, b):
                                precision=_HP)
 
 
-def _cholesky_panel_kernel(m_hbm, l_hbm, w_hbm, S, T, w_s, sems,
-                           *, m: int, B: int, BS: int):
+def _cholesky_panel_kernel(m_hbm, l_hbm, w_hbm, S, T, D, w_d, w_s, sems,
+                           *, m: int, B: int, BS: int, BSd: int):
     """Panel step k (grid dim 0) of the batched right-looking factorization.
 
-    Everything lives in HBM; each panel step processes all B instances in
-    sub-batches of BS.  Per sub-batch: DMA the full column stripe
-    (BS, m, NB) into VMEM, factor the diagonal blocks (vectorized over the
-    sub-batch — the only sequential chain), matmul the TRSM panel, write the
-    finished L stripe back, then apply the trailing MXU syrk tile-by-tile
-    (static tile loop, predicated on tile > k).  m_hbm is the aliased input
-    (same buffer as l_hbm): right-looking updates keep it current.
+    Everything lives in HBM; each panel step runs in TWO phases so the
+    sequential diagonal factorization amortizes over many more instances
+    than the VMEM-hungry stripe work allows:
+
+    phase A (sub-batches of BSd, only the (BSd, NB, NB) diagonal blocks in
+    VMEM): two-level blocked factor + trtri-style inverse
+    (:func:`_factor_block_twolevel`) — the kernel's only sequential chains,
+    now short steps on (BSd, 32, 32) sub-blocks; L_kk and inv(L_kk) are
+    written back to HBM.
+
+    phase B (sub-batches of BS, the full (BS, m, NB) column stripe in
+    VMEM): panel TRSM as one batched MXU matmul against the phase-A
+    inverses, then the trailing syrk tile-by-tile (static loop, predicated
+    on tile > k).  m_hbm is the aliased input (same buffer as l_hbm):
+    right-looking updates keep it current.
     """
     del m_hbm
     k = pl.program_id(0)
@@ -185,25 +237,48 @@ def _cholesky_panel_kernel(m_hbm, l_hbm, w_hbm, S, T, w_s, sems,
     nblk = m // NB
     rows_m = jax.lax.broadcasted_iota(jnp.int32, (1, m, 1), 1)
 
-    def sub_batch(bs, _):
-        b0 = pl.multiple_of(bs * BS, BS)
-        # --- load column stripe k: holds updated M for rows >= o ----------
+    def diag_batch(bd, _):
+        b0 = pl.multiple_of(bd * BSd, BSd)
         ld = pltpu.make_async_copy(
-            l_hbm.at[pl.ds(b0, BS), :, pl.ds(o, NB)], S, sems.at[0])
+            l_hbm.at[pl.ds(b0, BSd), pl.ds(o, NB), pl.ds(o, NB)], D,
+            sems.at[0])
         ld.start()
         ld.wait()
-        # --- factor diagonal blocks (batched) -----------------------------
-        D = S[:, pl.ds(o, NB), :]                       # (BS, NB, NB)
-        L_D, W_D = _factor_diag_blocks(D)
-        w_s[:] = W_D
+        L_D, W_D = _factor_block_twolevel(D[:])
+        D[:] = L_D
+        w_d[:] = W_D
+        st_l = pltpu.make_async_copy(
+            D, l_hbm.at[pl.ds(b0, BSd), pl.ds(o, NB), pl.ds(o, NB)],
+            sems.at[1])
         st_w = pltpu.make_async_copy(
-            w_s, w_hbm.at[pl.ds(b0, BS), k], sems.at[1])
+            w_d, w_hbm.at[pl.ds(b0, BSd), k], sems.at[2])
+        st_l.start()
         st_w.start()
+        st_l.wait()
+        st_w.wait()
+        return 0
+
+    jax.lax.fori_loop(0, B // BSd, diag_batch, 0)
+
+    def sub_batch(bs, _):
+        b0 = pl.multiple_of(bs * BS, BS)
+        # --- load column stripe k (rows >= o hold updated M; the diagonal
+        # block was replaced by L_kk in phase A) + the phase-A inverses ----
+        ld = pltpu.make_async_copy(
+            l_hbm.at[pl.ds(b0, BS), :, pl.ds(o, NB)], S, sems.at[0])
+        ld_w = pltpu.make_async_copy(
+            w_hbm.at[pl.ds(b0, BS), k], w_s, sems.at[1])
+        ld.start()
+        ld_w.start()
+        ld.wait()
+        ld_w.wait()
+        L_D = S[:, pl.ds(o, NB), :]                      # factored in phase A
+        W_D = w_s[:]
         # --- panel TRSM as one batched MXU matmul -------------------------
         below = rows_m >= o + NB                         # (1, m, 1)
         P = _bmm(S[:], jnp.swapaxes(W_D, 1, 2))          # (BS, m, NB)
         S[:] = jnp.where(below, P, 0.0)                  # zero above+diag
-        S[:, pl.ds(o, NB), :] = L_D                      # insert diag block
+        S[:, pl.ds(o, NB), :] = L_D                      # re-insert diag
         st_l = pltpu.make_async_copy(
             S, l_hbm.at[pl.ds(b0, BS), :, pl.ds(o, NB)], sems.at[2])
         st_l.start()
@@ -225,7 +300,6 @@ def _cholesky_panel_kernel(m_hbm, l_hbm, w_hbm, S, T, w_s, sems,
                     T, l_hbm.at[pl.ds(b0, BS), :, oj:oj + NB], sems.at[2])
                 stt.start()
                 stt.wait()
-        st_w.wait()
         return 0
 
     jax.lax.fori_loop(0, B // BS, sub_batch, 0)
@@ -233,8 +307,20 @@ def _cholesky_panel_kernel(m_hbm, l_hbm, w_hbm, S, T, w_s, sems,
 
 def _sub_batch_size(B: int, m: int) -> int:
     """Largest divisor of B with two (BS, m, NB) stripes under ~7MB VMEM
-    (the diag-factor + nilpotent-inversion temporaries need the rest)."""
+    (the diag-factor + inversion temporaries need the rest)."""
     cap = max(1, (7 << 20) // (2 * m * NB * 4))
+    bs = 1
+    for d in range(1, min(B, cap) + 1):
+        if B % d == 0:
+            bs = d
+    return bs
+
+
+def _diag_batch_size(B: int) -> int:
+    """Largest divisor of B (capped) for the phase-A diagonal factorization:
+    only (BSd, NB, NB) blocks live in VMEM, so the sequential column loops
+    amortize over ~4x more instances than the stripe phase allows."""
+    cap = 16
     bs = 1
     for d in range(1, min(B, cap) + 1):
         if B % d == 0:
@@ -250,7 +336,9 @@ def _cholesky_batched_impl(M: jax.Array, interpret: bool | None = None):
     assert m == m2 and m % NB == 0, f"m={m} must be a multiple of {NB}"
     nblk = m // NB
     BS = _sub_batch_size(B, m)
-    kernel = functools.partial(_cholesky_panel_kernel, m=m, B=B, BS=BS)
+    BSd = _diag_batch_size(B)
+    kernel = functools.partial(_cholesky_panel_kernel, m=m, B=B, BS=BS,
+                               BSd=BSd)
     L, W = pl.pallas_call(
         kernel,
         grid=(nblk,),
@@ -266,7 +354,9 @@ def _cholesky_batched_impl(M: jax.Array, interpret: bool | None = None):
         scratch_shapes=[
             pltpu.VMEM((BS, m, NB), jnp.float32),     # S: column stripe
             pltpu.VMEM((BS, m, NB), jnp.float32),     # T: trailing tile
-            pltpu.VMEM((BS, NB, NB), jnp.float32),    # w_s: staging for W
+            pltpu.VMEM((BSd, NB, NB), jnp.float32),   # D: diag blocks (ph. A)
+            pltpu.VMEM((BSd, NB, NB), jnp.float32),   # w_d: W staging (ph. A)
+            pltpu.VMEM((BS, NB, NB), jnp.float32),    # w_s: W reload (ph. B)
             pltpu.SemaphoreType.DMA((3,)),
         ],
         input_output_aliases={0: 0},   # factor in place: M buffer becomes L
@@ -395,15 +485,20 @@ def _solve_pair_kernel(l_hbm, lt_hbm, w_hbm, b_hbm, x_hbm, S, Wb, bv, yv, xv,
         ld_b = pltpu.make_async_copy(b_hbm.at[b0:b0 + BC], bv, sems.at[2])
         ld_b.start()
         # zero-init: the masked stripe dots contract over the FULL vector,
-        # and 0 * uninitialized-NaN = NaN
+        # and 0 * uninitialized-NaN = NaN.  S is zeroed too: each step DMAs
+        # only the TRIANGULAR part of its stripe (the live columns grow
+        # monotonically within a sweep, so the tail beyond the current
+        # width is always these zeros) — halves the L stream traffic.
         yv[:] = jnp.zeros((BC, m), jnp.float32)
         xv[:] = jnp.zeros((BC, m), jnp.float32)
+        S[:] = jnp.zeros_like(S)
         ld_b.wait()
-        # forward: L y = b
+        # forward: L y = b  (stripe k needs columns [0, o+NB) only)
         for k in range(nblk):
             o = k * NB
             ld_s = pltpu.make_async_copy(
-                l_hbm.at[b0:b0 + BC, o:o + NB, :], S, sems.at[0])
+                l_hbm.at[b0:b0 + BC, o:o + NB, :o + NB],
+                S.at[:, :, :o + NB], sems.at[0])
             ld_w = pltpu.make_async_copy(
                 w_hbm.at[b0:b0 + BC, k], Wb, sems.at[1])
             ld_s.start()
@@ -414,10 +509,14 @@ def _solve_pair_kernel(l_hbm, lt_hbm, w_hbm, b_hbm, x_hbm, S, Wb, bv, yv, xv,
             r = bv[:, o:o + NB] - _bmv2(masked, yv[:])
             yv[:, o:o + NB] = _bmv2(Wb[:], r)
         # backward: L^T x = y, via row stripes of the pre-transposed factor
+        # (stripe k needs columns [o, m) only; live region grows rightward
+        # as k decreases, so [0, o) is zeros from the re-init below)
+        S[:] = jnp.zeros_like(S)
         for k in range(nblk - 1, -1, -1):
             o = k * NB
             ld_s = pltpu.make_async_copy(
-                lt_hbm.at[b0:b0 + BC, o:o + NB, :], S, sems.at[0])
+                lt_hbm.at[b0:b0 + BC, o:o + NB, o:],
+                S.at[:, :, o:], sems.at[0])
             ld_w = pltpu.make_async_copy(
                 w_hbm.at[b0:b0 + BC, k], Wb, sems.at[1])
             ld_s.start()
