@@ -151,12 +151,14 @@ def _factor_block_twolevel(blk, h: int = 32):
             Lb = _bmm(below, jnp.swapaxes(Wd, 1, 2))
             a_trail = (a_trail[:, h:, h:]
                        - _bmm(Lb, jnp.swapaxes(Lb, 1, 2)))
-            col = jnp.concatenate(
-                [jnp.zeros((bs, o, h), dt), Ld, Lb], axis=1)
+            parts = [Ld, Lb]
         else:
-            col = jnp.concatenate(
-                [jnp.zeros((bs, o, h), dt), Ld], axis=1)
-        col_blocks.append(col)
+            parts = [Ld]
+        # no zero-size leading block at i == 0: Mosaic rejects 0-dim vectors
+        if o:
+            parts.insert(0, jnp.zeros((bs, o, h), dt))
+        col_blocks.append(parts[0] if len(parts) == 1
+                          else jnp.concatenate(parts, axis=1))
     L = jnp.concatenate(col_blocks, axis=2)                  # (BS, q, q)
 
     W01 = _combine_lower_inv(winvs[0], winvs[1], L[:, h:2 * h, 0:h])
@@ -272,13 +274,19 @@ def _cholesky_panel_kernel(m_hbm, l_hbm, w_hbm, S, T, D, w_d, w_s, sems,
         ld_w.start()
         ld.wait()
         ld_w.wait()
-        L_D = S[:, pl.ds(o, NB), :]                      # factored in phase A
         W_D = w_s[:]
         # --- panel TRSM as one batched MXU matmul -------------------------
+        # One single full-stripe write: below-diag rows get the TRSM result,
+        # the diagonal rows keep L_kk (factored in phase A, present in the
+        # loaded stripe), rows above are zeroed.  A dynamic-offset sub-tile
+        # re-insert (S[:, pl.ds(o, NB), :] = L_D) after a full overwrite is
+        # silently DROPPED by Mosaic (diag blocks came back zero on real TPU
+        # while interpret mode passed) — never split this into two writes.
         below = rows_m >= o + NB                         # (1, m, 1)
-        P = _bmm(S[:], jnp.swapaxes(W_D, 1, 2))          # (BS, m, NB)
-        S[:] = jnp.where(below, P, 0.0)                  # zero above+diag
-        S[:, pl.ds(o, NB), :] = L_D                      # re-insert diag
+        diag_rows = (rows_m >= o) & (rows_m < o + NB)
+        Sv = S[:]
+        P = _bmm(Sv, jnp.swapaxes(W_D, 1, 2))            # (BS, m, NB)
+        S[:] = jnp.where(below, P, jnp.where(diag_rows, Sv, 0.0))
         st_l = pltpu.make_async_copy(
             S, l_hbm.at[pl.ds(b0, BS), :, pl.ds(o, NB)], sems.at[2])
         st_l.start()
