@@ -41,7 +41,7 @@ def main() -> int:
                    default="hybrid",
                    help="factorization backend A/B (production: hybrid)")
     p.add_argument("--a-storage", choices=["float32", "bfloat16"],
-                   default="float32",
+                   default="bfloat16",
                    help="store the batch's A tensors bf16 (halves HBM "
                         "residency + every A stream; instances are "
                         "generated with bf16-representable A so the LPs "

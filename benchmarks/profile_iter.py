@@ -6,6 +6,10 @@ chaining iterations through a data dependency so XLA cannot overlap or
 dead-code-eliminate repeated applications.  Appends one JSON line per stage
 to ``benchmarks/profile_iter.jsonl``.
 
+All large operands are passed as jit ARGUMENTS (never closures: a closed-
+over 512MB batch is embedded in the compile request and the axon
+remote-compile tunnel rejects it with HTTP 413).
+
 Stages:
   step        — full mehrotra_step (the bench unit)
   factor      — assemble + Jacobi scale + potrf/pallas + W inversion
@@ -23,9 +27,12 @@ import argparse
 import functools
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
@@ -40,6 +47,8 @@ def main() -> int:
                     default="bfloat16")
     ap.add_argument("--chol-backend", choices=["xla", "pallas", "hybrid"],
                     default="hybrid")
+    ap.add_argument("--stages", default="",
+                    help="comma-separated subset (default: all)")
     args = ap.parse_args()
 
     import jax
@@ -82,104 +91,142 @@ def main() -> int:
     d2_0 = st0.x / st0.s
     rhs_0 = st0.best_y + 1.0  # arbitrary O(1) vector, shape (B, m)
 
-    # --- stage definitions: chained(carry) -> carry ------------------------
     one = jnp.asarray(1e-20, jnp.float32)
 
-    def chain_step(k):
-        @jax.jit
-        def run(st):
-            step = jax.vmap(
-                lambda lp_i, s, f: mehrotra.mehrotra_step(lp_i, s, opts, f))
-            return jax.lax.fori_loop(
-                0, k, lambda _, s: step(blp, s, fac_aat), st)
-        return run, st0, lambda out: float(np.asarray(out.mu).sum())
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def factor_fn(blp, d2, opts):
+        return jax.vmap(lambda a, d: normal_eq.factor(a, d, opts))(blp.A, d2)
 
-    def chain_factor(k):
-        @jax.jit
-        def run(d2):
-            def body(_, d2):
-                fac = jax.vmap(
-                    lambda a, d: normal_eq.factor(a, d, opts))(blp.A, d2)
-                # dependency: fold a cheap functional of L back into d2
-                return d2 + one * jnp.abs(
-                    jnp.diagonal(fac.L, axis1=-2, axis2=-1)[:, :1])
-            return jax.lax.fori_loop(0, k, body, d2)
-        return run, d2_0, lambda out: float(np.asarray(out).sum())
+    fac0 = jax.block_until_ready(factor_fn(blp, d2_0, opts))
 
-    def chain_assemble(k):
-        @jax.jit
-        def run(d2):
-            def body(_, d2):
-                M = jax.vmap(lambda a, d: normal_eq.assemble(
-                    a.astype(jnp.float32) if a.dtype != jnp.float32 else a,
-                    d, opts.assembly_precision))(blp.A, d2)
-                return d2 + one * jnp.abs(M[:, 0, :1])
-            return jax.lax.fori_loop(0, k, body, d2)
-        return run, d2_0, lambda out: float(np.asarray(out).sum())
+    # --- stage definitions: (k) -> (jitted fn, operand tuple, sync) --------
+    # Every stage fn takes (k static, *operands) — operands donated nothing,
+    # all passed by argument so the compile request stays small.
 
-    fac0 = jax.block_until_ready(jax.jit(
-        lambda: jax.vmap(lambda a, d: normal_eq.factor(a, d, opts))(
-            blp.A, d2_0))())
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def run_step(k, blp, st, fac_aat):
+        step = jax.vmap(
+            lambda lp_i, s, f: mehrotra.mehrotra_step(lp_i, s, opts, f))
+        return jax.lax.fori_loop(0, k, lambda _, s: step(blp, s, fac_aat), st)
 
-    def chain_precond(k):
-        @jax.jit
-        def run(r):
-            def body(_, r):
-                from ipx.kernels import cholesky as pk
-                if opts.chol_backend in ("pallas", "hybrid"):
-                    y = pk.chol_solve_batched(fac0.L, fac0.W, r)
-                else:
-                    y = jax.vmap(lambda L, b: jax.scipy.linalg.cho_solve(
-                        (L, True), b))(fac0.L, r)
-                return r + one * y
-            return jax.lax.fori_loop(0, k, body, r)
-        return run, rhs_0, lambda out: float(np.asarray(out).sum())
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def run_factor(k, blp, d2):
+        def body(_, d2):
+            fac = jax.vmap(lambda a, d: normal_eq.factor(a, d, opts))(
+                blp.A, d2)
+            return d2 + one * jnp.abs(
+                jnp.diagonal(fac.L, axis1=-2, axis2=-1)[:, :1])
+        return jax.lax.fori_loop(0, k, body, d2)
 
-    def chain_ata(k):
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def run_assemble(k, blp, d2):
+        def body(_, d2):
+            M = jax.vmap(lambda a, d: normal_eq.assemble(
+                a.astype(jnp.float32) if a.dtype != jnp.float32 else a,
+                d, opts.assembly_precision))(blp.A, d2)
+            return d2 + one * jnp.abs(M[:, 0, :1])
+        return jax.lax.fori_loop(0, k, body, d2)
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def run_precond(k, L, W, r):
+        from ipx.kernels import cholesky as pk
+
+        def body(_, r):
+            if opts.chol_backend in ("pallas", "hybrid"):
+                y = pk.chol_solve_batched(L, W, r)
+            else:
+                y = jax.vmap(lambda Lk, b: jax.scipy.linalg.cho_solve(
+                    (Lk, True), b))(L, r)
+            return r + one * y
+        return jax.lax.fori_loop(0, k, body, r)
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def run_ata(k, A, d2, v):
         from ipx.kernels import fused as fk
 
-        @jax.jit
-        def run(v):
-            def body(_, v):
-                y, _t = jax.vmap(lambda a, vv, d: fk.ata_apply(
-                    a, vv, d, None))(blp.A, v, fac0.d2)
-                return v + one * y
-            return jax.lax.fori_loop(0, k, body, v)
-        return run, rhs_0, lambda out: float(np.asarray(out).sum())
+        def body(_, v):
+            y, _t = jax.vmap(lambda a, vv, d: fk.ata_apply(
+                a, vv, d, None))(A, v, d2)
+            return v + one * y
+        return jax.lax.fori_loop(0, k, body, v)
 
-    def chain_solve(k):
-        @jax.jit
-        def run(r):
-            def body(_, r):
-                y = jax.vmap(lambda L, a, b: normal_eq.solve(
-                    L, a, b, opts), in_axes=(0, 0, 0))(fac0, blp.A, r)
-                return r + one * y
-            return jax.lax.fori_loop(0, k, body, r)
-        return run, rhs_0, lambda out: float(np.asarray(out).sum())
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def run_solve(k, fac, A, r):
+        def body(_, r):
+            y = jax.vmap(lambda f, a, b: normal_eq.solve(
+                f, a, b, opts), in_axes=(0, 0, 0))(fac, A, r)
+            return r + one * y
+        return jax.lax.fori_loop(0, k, body, r)
+
+    # --- factor sub-stages (potrf / W inversion / scale+reg) ---------------
+    Ms0 = jax.block_until_ready(jax.jit(lambda L: jnp.matmul(
+        jnp.tril(L), jnp.swapaxes(jnp.tril(L), 1, 2)))(fac0.L))
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def run_potrf(k, Ms):
+        def body(_, Ms):
+            L = jnp.linalg.cholesky(Ms)
+            return Ms + one * jnp.abs(
+                jnp.diagonal(L, axis1=-2, axis2=-1))[:, :, None]
+        return jax.lax.fori_loop(0, k, body, Ms)
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def run_winv(k, L):
+        from ipx.kernels import cholesky as pk
+
+        def body(_, L):
+            nblk = L.shape[-1] // pk.NB
+            blocks = jnp.stack(
+                [L[:, j * pk.NB:(j + 1) * pk.NB, j * pk.NB:(j + 1) * pk.NB]
+                 for j in range(nblk)], axis=1)
+            W = jax.vmap(normal_eq._invert_lower_blocks)(blocks)
+            return L + one * jnp.abs(W[:, 0, :1, :1])
+        return jax.lax.fori_loop(0, k, body, L)
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def run_pallas_factor(k, Ms):
+        from ipx.kernels import cholesky as pk
+
+        def body(_, Ms):
+            L, W = pk.cholesky_batched(Ms)
+            return Ms + one * jnp.abs(
+                jnp.diagonal(L, axis1=-2, axis2=-1))[:, :, None]
+        return jax.lax.fori_loop(0, k, body, Ms)
+
+    def sync_state(out):
+        return float(np.asarray(out.mu).sum())
+
+    def sync_arr(out):
+        return float(np.asarray(out).sum())
 
     stages = {
-        "step": chain_step,
-        "factor": chain_factor,
-        "assemble": chain_assemble,
-        "precond": chain_precond,
-        "ata": chain_ata,
-        "solve": chain_solve,
+        "step": (run_step, (blp, st0, fac_aat), sync_state),
+        "factor": (run_factor, (blp, d2_0), sync_arr),
+        "assemble": (run_assemble, (blp, d2_0), sync_arr),
+        "precond": (run_precond, (fac0.L, fac0.W, rhs_0), sync_arr),
+        "ata": (run_ata, (blp.A, fac0.d2, rhs_0), sync_arr),
+        "solve": (run_solve, (fac0, blp.A, rhs_0), sync_arr),
+        "potrf": (run_potrf, (Ms0,), sync_arr),
+        "winv": (run_winv, (fac0.L,), sync_arr),
+        "pallas_factor": (run_pallas_factor, (Ms0,), sync_arr),
     }
+    subset = [s for s in args.stages.split(",") if s]
+    if subset:
+        stages = {k: v for k, v in stages.items() if k in subset}
 
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "profile_iter.jsonl")
     cfg = {"batch": B, "m": m, "n": n, "a_storage": args.a_storage,
            "chol_backend": args.chol_backend}
-    for name, mk in stages.items():
+    for name, (fn, operands, sync) in stages.items():
         try:
             times = {}
             for k in (args.k1, args.k2):
-                run, x0, sync = mk(k)
-                sync(run(x0))          # compile
+                sync(fn(k, *operands))          # compile
                 best = float("inf")
                 for _ in range(args.repeats):
                     t0 = time.perf_counter()
-                    sync(run(x0))
+                    sync(fn(k, *operands))
                     best = min(best, time.perf_counter() - t0)
                 times[k] = best
             per = (times[args.k2] - times[args.k1]) / (args.k2 - args.k1)
@@ -194,5 +241,4 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    import sys
     sys.exit(main())

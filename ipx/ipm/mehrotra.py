@@ -147,9 +147,15 @@ def mehrotra_step(lp: LP, state: IPMState, opts: SolverOptions,
             from ipx.linsys import augmented
             return augmented.solve_newton_schur(fac, A, x, s, e_p, e_d,
                                                 e_xs, opts)
-        rhs = -e_p - mv(A, d2 * e_d - e_xs / s, prec)
-        dy = normal_eq.solve(fac, A, rhs, opts)
-        ds = -e_d - mv(A.T, dy, prec)
+        if fuse:
+            from ipx.kernels import fused as fk
+            rhs = -e_p - fk.a_matvec(A, d2 * e_d - e_xs / s)
+            dy = normal_eq.solve(fac, A, rhs, opts)
+            ds = -e_d - fk.at_matvec(A, dy)
+        else:
+            rhs = -e_p - mv(A, d2 * e_d - e_xs / s, prec)
+            dy = normal_eq.solve(fac, A, rhs, opts)
+            ds = -e_d - mv(A.T, dy, prec)
         dx = -(e_xs / s) - d2 * ds
         return dx, dy, ds
 
@@ -198,7 +204,7 @@ def mehrotra_step(lp: LP, state: IPMState, opts: SolverOptions,
         from ipx.kernels import fused as fk
 
         do_proj = fac_aat is not None and project
-        rhs = -rp - mv(A, d2 * rd - r_xs / s, prec)
+        rhs = -rp - fk.a_matvec(A, d2 * rd - r_xs / s)
         dy = normal_eq.solve(fac, A, rhs, opts)
         if refines == 0 and do_proj:
             # fold ds/dx construction with the projection's e_p stream:
@@ -208,7 +214,7 @@ def mehrotra_step(lp: LP, state: IPMState, opts: SolverOptions,
             dx = -(r_xs / s) - d2 * ds
             e_p = rp + yv
         else:
-            ds = -rd - mv(A.T, dy, prec)
+            ds = -rd - fk.at_matvec(A, dy)
             dx = -(r_xs / s) - d2 * ds
             for k in range(refines):
                 last = k == refines - 1
@@ -235,13 +241,13 @@ def mehrotra_step(lp: LP, state: IPMState, opts: SolverOptions,
                     dds = -e_d - t2
                     e_p = rp + y2
                 else:
-                    dds = -e_d - mv(A.T, ddy, prec)
+                    dds = -e_d - fk.at_matvec(A, ddy)
                 ddx = -(e_xs / s) - d2 * dds
                 dx, dy, ds = dx + ddx, dy + ddy, ds + dds
         if do_proj:
             proj_opts = opts.replace(refine_steps=opts.proj_cg_iters)
-            dx = dx - mv(A.T, normal_eq.solve(fac_aat, A, e_p, proj_opts),
-                         prec)
+            dx = dx - fk.at_matvec(
+                A, normal_eq.solve(fac_aat, A, e_p, proj_opts))
         return dx, dy, ds
 
     if fuse:
@@ -294,8 +300,13 @@ def mehrotra_step(lp: LP, state: IPMState, opts: SolverOptions,
         # the UNREFINED correction degrades the refined+projected base
         # direction in f32 — the refined form is what makes Gondzio
         # correctors f32-viable (STATUS r1 roadmap #3)
-        e_p2 = mv(A, ddx, prec)
-        e_d2 = mv(A.T, ddy, prec) + dds
+        if fuse:
+            from ipx.kernels import fused as fk
+            e_p2, t_g = fk.ata_apply(A, ddy, None, ddx)  # A@ddx, A^T ddy
+            e_d2 = t_g + dds
+        else:
+            e_p2 = mv(A, ddx, prec)
+            e_d2 = mv(A.T, ddy, prec) + dds
         e_xs2 = r_xs + s * ddx + x * dds
         d3x, d3y, d3s = newton_direction(e_p2, e_d2, e_xs2)
         ddx, ddy, dds = ddx + d3x, ddy + d3y, dds + d3s

@@ -43,12 +43,11 @@ def _interpret() -> bool:
 def stripe_width(m: int, n: int, itemsize: int = 4) -> int | None:
     """Largest column-stripe width that (a) divides n, (b) is a multiple of
     the 128 lane width, (c) keeps the stripe's VMEM footprint under ~2MB.
-    For a bf16-stored A that footprint counts BOTH the stored block and its
-    in-kernel f32 upcast (measured: budgeting only the stored bytes
-    VMEM-OOMed at m=1024, n=2048 — 21.3MB scoped).  None when n has no
-    128-multiple divisor (caller falls back to XLA matmuls)."""
-    per_elem = itemsize + (4 if itemsize < 4 else 0)
-    budget = (2 << 20) // (per_elem * max(m, 1))   # block rows = m
+    A bf16-stored A block feeds the MXU directly (3-way bf16-split dots, no
+    f32 upcast copy), so only the stored bytes count — wider stripes and
+    fewer grid steps than the f32 path.  None when n has no 128-multiple
+    divisor (caller falls back to XLA matmuls)."""
+    budget = (2 << 20) // (itemsize * max(m, 1))   # block rows = m
     best = None
     for w in range(128, n + 1, 128):
         if n % w == 0 and w <= max(budget, 128):
@@ -56,24 +55,53 @@ def stripe_width(m: int, n: int, itemsize: int = 4) -> int | None:
     return best
 
 
+def _split3_dot(v, Abf, dims):
+    """f32 (1, k) vector x bf16 matrix as THREE single-pass bf16 MXU dots.
+
+    v = h1 + h2 + h3 + err with each h_i the bf16 rounding of the running
+    residual (|err| <= 2^-24 |v|), so the sum of the three bf16xbf16
+    products IS the f32xbf16 product to f32 accuracy.  Measured on v5e at
+    (1,1024)x(1024,256): 2.2x faster than a precision=HIGHEST f32xf32 dot
+    of the upcast operand and slightly MORE accurate (1.1e-7 vs 1.4e-7 —
+    HIGHEST re-splits the already-bf16 A operand and pays VPU splitting
+    work per pass for no accuracy gain)."""
+    h1 = v.astype(jnp.bfloat16)
+    r1 = v - h1.astype(jnp.float32)
+    h2 = r1.astype(jnp.bfloat16)
+    h3 = (r1 - h2.astype(jnp.float32)).astype(jnp.bfloat16)
+    out = None
+    for h in (h1, h2, h3):
+        p = jax.lax.dot_general(h, Abf, dims,
+                                preferred_element_type=jnp.float32)
+        out = p if out is None else out + p
+    return out
+
+
 def _ata_kernel(vm_ref, alpha_ref, beta_ref, wn_ref, a_ref, y_ref, t_ref):
     s = pl.program_id(0)
-    # A may be STORED bf16 (SolverOptions.a_storage): the HBM->VMEM stream
-    # is then half-width; the in-register upcast is free and the f32
-    # contractions below are exact in the stored values either way.
-    Ab = a_ref[:].astype(jnp.float32)               # (m, NS)
-    t = jax.lax.dot_general(vm_ref[:], Ab, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=_HP)          # (1, NS) = vm @ A_S
+    bf16_a = a_ref.dtype == jnp.bfloat16
+    if bf16_a:
+        # bf16-stored A: contract the STORED operand directly with a 3-way
+        # bf16 split of the f32 vector (see _split3_dot) — no upcast, no
+        # HIGHEST multi-pass machinery.
+        t = _split3_dot(vm_ref[:], a_ref[:], (((1,), (0,)), ((), ())))
+    else:
+        Ab = a_ref[:]
+        t = jax.lax.dot_general(vm_ref[:], Ab, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=_HP)      # (1, NS) = vm @ A_S
     t_ref[:] = t
     # (t + beta) FIRST: in KKT refinement this difference is a tiny residual
     # of two O(1) quantities — scaling by alpha (= d2, up to ~1e10 near
     # convergence) before cancelling would destroy it (measured: stalls the
     # endgame at mu ~ 2e-7 instead of 2e-10)
     w = alpha_ref[:] * (t + beta_ref[:]) + wn_ref[:]
-    yp = jax.lax.dot_general(w, Ab, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32,
-                             precision=_HP)         # (1, m) = w @ A_S^T
+    if bf16_a:
+        yp = _split3_dot(w, a_ref[:], (((1,), (1,)), ((), ())))
+    else:
+        yp = jax.lax.dot_general(w, Ab, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+                                 precision=_HP)     # (1, m) = w @ A_S^T
 
     @pl.when(s == 0)
     def _():
@@ -109,6 +137,85 @@ def _ata_apply_2d(A, vm2, alpha2, beta2, wn2, ns: int):
         interpret=_interpret(),
     )(vm2, alpha2, beta2, wn2, A)
     return y2, t2
+
+
+def _a_kernel(wn_ref, a_ref, y_ref):
+    """Forward-only stripe matvec: y = A @ w, one stream of A, no t."""
+    s = pl.program_id(0)
+    if a_ref.dtype == jnp.bfloat16:
+        yp = _split3_dot(wn_ref[:], a_ref[:], (((1,), (1,)), ((), ())))
+    else:
+        yp = jax.lax.dot_general(wn_ref[:], a_ref[:], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+                                 precision=_HP)
+
+    @pl.when(s == 0)
+    def _():
+        y_ref[:] = yp
+
+    @pl.when(s > 0)
+    def _():
+        y_ref[:] = y_ref[:] + yp
+
+
+def _at_kernel(vm_ref, a_ref, t_ref):
+    """Transpose-only stripe matvec: t = A^T v, one stream of A."""
+    if a_ref.dtype == jnp.bfloat16:
+        t_ref[:] = _split3_dot(vm_ref[:], a_ref[:], (((1,), (0,)), ((), ())))
+    else:
+        t_ref[:] = jax.lax.dot_general(
+            vm_ref[:], a_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HP)
+
+
+@functools.partial(jax.jit, static_argnames=("ns",))
+def _a_matvec_2d(A, wn2, ns: int):
+    m, n = A.shape
+    return pl.pallas_call(
+        _a_kernel,
+        grid=(n // ns,),
+        in_specs=[
+            pl.BlockSpec((1, ns), lambda s: (0, s)),
+            pl.BlockSpec((m, ns), lambda s: (0, s)),
+        ],
+        out_specs=pl.BlockSpec((1, m), lambda s: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((1, m), jnp.float32),
+        interpret=_interpret(),
+    )(wn2, A)
+
+
+@functools.partial(jax.jit, static_argnames=("ns",))
+def _at_matvec_2d(A, vm2, ns: int):
+    m, n = A.shape
+    return pl.pallas_call(
+        _at_kernel,
+        grid=(n // ns,),
+        in_specs=[
+            pl.BlockSpec((1, m), lambda s: (0, 0)),
+            pl.BlockSpec((m, ns), lambda s: (0, s)),
+        ],
+        out_specs=pl.BlockSpec((1, ns), lambda s: (0, s)),
+        out_shape=jax.ShapeDtypeStruct((1, n), jnp.float32),
+        interpret=_interpret(),
+    )(vm2, A)
+
+
+def a_matvec(A: jax.Array, w: jax.Array) -> jax.Array:
+    """One-stream ``A @ w`` through the stripe kernel ((m,) f32 out).
+
+    Replaces XLA ``mv(A, w, HIGHEST)`` on the fused path: for a bf16-stored
+    A the XLA route pays multi-pass HIGHEST overhead per stream; the kernel
+    runs the 3-way bf16-split contraction at the DMA floor."""
+    m, n = A.shape
+    ns = stripe_width(m, n, A.dtype.itemsize)
+    return _a_matvec_2d(A, w.reshape(1, n).astype(jnp.float32), ns)[0]
+
+
+def at_matvec(A: jax.Array, v: jax.Array) -> jax.Array:
+    """One-stream ``A^T v`` through the stripe kernel ((n,) f32 out)."""
+    m, n = A.shape
+    ns = stripe_width(m, n, A.dtype.itemsize)
+    return _at_matvec_2d(A, v.reshape(1, m).astype(jnp.float32), ns)[0]
 
 
 def ata_apply(A: jax.Array, vm: jax.Array, alpha, wn, beta=None):

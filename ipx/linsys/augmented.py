@@ -40,6 +40,11 @@ class AugFactor:
 
 def factor(A: jax.Array, d2: jax.Array, opts: SolverOptions,
            reg_scale=1.0) -> AugFactor:
+    # A may be STORED bf16 (SolverOptions.a_storage); the augmented factor
+    # is the ROBUSTNESS path, so it always works in the solve dtype (the LU
+    # and its rhs must agree, and a bf16 K would be numerically useless).
+    if A.dtype == jnp.bfloat16:
+        A = A.astype(d2.dtype)
     m, n = A.shape
     dt = A.dtype
     reg = jnp.asarray(opts.aug_reg, dt) * jnp.asarray(reg_scale, dt)
