@@ -112,3 +112,62 @@ def test_fused_matvec_backend_batched():
     for g, s in zip(gs, sols):
         assert s.optimal, s.status_name
         assert abs(s.objective - g.obj_star) / (1 + abs(g.obj_star)) <= 2e-6
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_a_matvec_at_matvec(dtype):
+    """Forward/transpose-only stripe kernels vs numpy, f32 and bf16-stored A.
+
+    For bf16 storage the kernel contracts via the 3-way bf16 split
+    (_split3_dot): the result must match the f64 product of the STORED
+    values to f32 accuracy (the split reconstructs the f32 vector exactly).
+    """
+    rng = np.random.default_rng(7)
+    m, n = 128, 256
+    A = rng.standard_normal((m, n)).astype(np.float32)
+    Ad = jnp.asarray(A, dtype)
+    A_stored = np.asarray(Ad.astype(jnp.float32), np.float64)
+    w = rng.standard_normal(n).astype(np.float32)
+    v = rng.standard_normal(m).astype(np.float32)
+    y = fused.a_matvec(Ad, jnp.asarray(w))
+    t = fused.at_matvec(Ad, jnp.asarray(v))
+    assert y.dtype == jnp.float32 and t.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(y), A_stored @ w,
+                               rtol=2e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(t), A_stored.T @ v,
+                               rtol=2e-5, atol=1e-4)
+
+
+def test_ata_apply_bf16_storage():
+    """ata_apply with a bf16-STORED A (the split3 in-kernel path) matches
+    the f64 reference computed from the stored (rounded) values."""
+    rng = np.random.default_rng(8)
+    m, n = 128, 256
+    A = jnp.asarray(rng.standard_normal((m, n)).astype(np.float32),
+                    jnp.bfloat16)
+    A64 = np.asarray(A.astype(jnp.float32), np.float64)
+    vm = rng.standard_normal(m).astype(np.float32)
+    alpha = np.abs(rng.standard_normal(n)).astype(np.float32)
+    wn = rng.standard_normal(n).astype(np.float32)
+    y, t = fused.ata_apply(A, jnp.asarray(vm), jnp.asarray(alpha),
+                           jnp.asarray(wn))
+    t_ref = A64.T @ vm
+    y_ref = A64 @ (alpha * t_ref + wn)
+    np.testing.assert_allclose(np.asarray(t), t_ref, rtol=2e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=2e-5,
+                               atol=1e-3 * (1 + np.abs(y_ref).max()))
+
+
+def test_split3_reconstruction():
+    """h1+h2+h3 reconstructs an f32 vector to ~2^-24 relative error."""
+    rng = np.random.default_rng(9)
+    v = jnp.asarray(rng.standard_normal((1, 512)).astype(np.float32)
+                    * 10.0 ** rng.integers(-6, 6, (1, 512)))
+    h1 = v.astype(jnp.bfloat16)
+    r1 = v - h1.astype(jnp.float32)
+    h2 = r1.astype(jnp.bfloat16)
+    h3 = (r1 - h2.astype(jnp.float32)).astype(jnp.bfloat16)
+    back = (h1.astype(jnp.float32) + h2.astype(jnp.float32)
+            + h3.astype(jnp.float32))
+    err = np.abs(np.asarray(back - v)) / (np.abs(np.asarray(v)) + 1e-30)
+    assert err.max() < 2e-7, err.max()
