@@ -40,15 +40,29 @@ def main() -> int:
     p.add_argument("--chol-backend", choices=["xla", "pallas", "hybrid"],
                    default="hybrid",
                    help="factorization backend A/B (production: hybrid)")
+    p.add_argument("--chunks", type=int, default=1,
+                   help="split the batch into this many sequential "
+                        "device-program chunks (the B=1024 contract batch "
+                        "exceeds one 16GB chip's transient working set; "
+                        "4x256 chunks fit — see BASELINE.md memory budget)")
+    p.add_argument("--gondzio", type=int, default=0,
+                   help="Gondzio multiple centrality correctors per "
+                        "iteration (A/B probe; 0 = production default)")
     p.add_argument("--a-storage", choices=["float32", "bfloat16"],
                    default="bfloat16",
                    help="store the batch's A tensors bf16 (halves HBM "
                         "residency + every A stream; instances are "
                         "generated with bf16-representable A so the LPs "
                         "are exact — see SolverOptions.a_storage)")
+    p.add_argument("--platform", choices=["cpu", "tpu"], default=None,
+                   help="force a jax platform (harness smoke tests use "
+                        "cpu; the JAX_PLATFORMS env var is ignored under "
+                        "the axon plugin)")
     args = p.parse_args()
 
     import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
     import ipx
     from ipx.ipm import batched
@@ -82,6 +96,7 @@ def main() -> int:
     opts = ipx.SolverOptions(dtype="float32", max_iter=args.iters + 1,
                              chol_backend=args.chol_backend, refine_steps=1,
                              matvec_backend="fused",
+                             gondzio_correctors=args.gondzio,
                              a_storage=args.a_storage)
 
     # --- build batch (ON DEVICE) --------------------------------------------
@@ -125,7 +140,19 @@ def main() -> int:
     def start(blp, opts):
         return batched.batch_starting_state(blp, opts)
 
-    st0, fac_aat = jax.block_until_ready(start(blp, opts))
+    # Sequential sub-batch chunking (config 3 at B=1024 on one 16GB chip):
+    # the PERSISTENT state of the full batch fits (bf16 A 4GB + the
+    # loop-invariant AA^T factors 4.5GB + iterates), but the per-iteration
+    # TRANSIENTS (assembled M, factor L, its transpose for the packed
+    # backward sweep) do not at B=1024 — chunking bounds the transient set
+    # to one chunk (~3.2GB at 256) while every chunk's persistent state
+    # stays device-resident, exactly like a chunked production solve.
+    assert B % args.chunks == 0, "batch must divide into --chunks"
+    Bc = B // args.chunks
+    chunk_lps = [jax.tree_util.tree_map(lambda x: x[i * Bc:(i + 1) * Bc], blp)
+                 for i in range(args.chunks)]
+    chunk_states = [jax.block_until_ready(start(lp_c, opts))
+                    for lp_c in chunk_lps]
 
     # Two trip counts; the difference cancels dispatch/launch overhead.  The
     # sync point is an explicit device->host scalar fetch — immune to any
@@ -134,8 +161,11 @@ def main() -> int:
     k2 = k1 * 3
 
     def run_k(k):
-        out = fixed(blp, st0, fac_aat, k, opts)
-        return float(np.asarray(out.mu).sum())
+        tot = 0.0
+        for lp_c, (st_c, fac_c) in zip(chunk_lps, chunk_states):
+            out = fixed(lp_c, st_c, fac_c, k, opts)
+            tot += float(np.asarray(out.mu).sum())
+        return tot
 
     run_k(k1)   # compile k1
     run_k(k2)   # compile k2
@@ -195,7 +225,8 @@ def main() -> int:
             "a_storage": args.a_storage,
             "batched_iters_per_s": round(batched_iters_per_s, 3),
             "sec_per_batched_iter": round(t_iter, 5),
-            "batch": B, "m": m, "n": n,
+            "batch": B, "m": m, "n": n, "chunks": args.chunks,
+            "gondzio_correctors": args.gondzio,
             "est_lps_solved_per_s": round(solves_per_s, 2),
             "probe_optimal": f"{n_opt}/{probe_B}",
             "probe_max_rel_gap": float(np.max(gaps)) if gaps else None,
