@@ -37,7 +37,7 @@ def main() -> int:
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--quick", action="store_true",
                    help="small shapes for smoke-testing the harness")
-    p.add_argument("--chol-backend", choices=["xla", "pallas", "hybrid"],
+    p.add_argument("--chol-backend", choices=["xla", "pallas", "hybrid", "blocked"],
                    default="hybrid",
                    help="factorization backend A/B (production: hybrid)")
     p.add_argument("--chunks", type=int, default=1,

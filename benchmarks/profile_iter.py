@@ -45,7 +45,7 @@ def main() -> int:
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--a-storage", choices=["float32", "bfloat16"],
                     default="bfloat16")
-    ap.add_argument("--chol-backend", choices=["xla", "pallas", "hybrid"],
+    ap.add_argument("--chol-backend", choices=["xla", "pallas", "hybrid", "blocked"],
                     default="hybrid")
     ap.add_argument("--stages", default="",
                     help="comma-separated subset (default: all)")
@@ -132,7 +132,7 @@ def main() -> int:
         from ipx.kernels import cholesky as pk
 
         def body(_, r):
-            if opts.chol_backend in ("pallas", "hybrid"):
+            if opts.chol_backend in ("pallas", "hybrid", "blocked"):
                 y = pk.chol_solve_batched(L, W, r)
             else:
                 y = jax.vmap(lambda Lk, b: jax.scipy.linalg.cho_solve(

@@ -117,7 +117,7 @@ def factor(A: jax.Array, d2: jax.Array, opts: SolverOptions,
     reg = jnp.asarray(opts.reg, M.dtype) * jnp.asarray(reg_scale, M.dtype)
     Ms = Ms + reg * jnp.eye(m, dtype=M.dtype)
 
-    if opts.chol_backend in ("pallas", "hybrid"):
+    if opts.chol_backend in ("pallas", "hybrid", "blocked"):
         # Imported lazily: the XLA path must stay importable everywhere.
         from ipx.kernels import cholesky as pk
         # Pad to a multiple of the 128 MXU tile with an identity extension:
@@ -133,6 +133,8 @@ def factor(A: jax.Array, d2: jax.Array, opts: SolverOptions,
         if opts.chol_backend == "pallas":
             L, W = pk.cholesky_batched(Mp[None].astype(jnp.float32))
             L, W = L[0], W[0]
+        elif opts.chol_backend == "blocked":
+            L, W = _blocked_potrf(Mp.astype(jnp.float32), pk.NB)
         else:
             # hybrid: XLA's potrf for the factor; diag-block inverses via
             # the recursive trtri-style combine below (same scheme the
@@ -157,6 +159,48 @@ def factor(A: jax.Array, d2: jax.Array, opts: SolverOptions,
     else:
         M_op = jnp.zeros((0,), M.dtype)
     return NormalEqFactor(L=L, j=j, d2=d2, ok=ok, W=W, M=M_op)
+
+
+def _blocked_potrf(Ms: jax.Array, nb: int = 128):
+    """Right-looking blocked Cholesky at the XLA level: returns (L, W) with
+    W the (m/nb, nb, nb) diagonal-block inverses the Pallas pair-solve
+    kernel consumes — computed as a BY-PRODUCT of the panel steps, so the
+    separate W-inversion pass of the "hybrid" backend disappears.
+
+    Why not ``jnp.linalg.cholesky`` on the full matrix (the "hybrid"
+    backend)?  XLA's potrf expansion drives its panel solves through the
+    TriangularSolveExpander inside a dynamic-slice while-loop — measured
+    far off the arithmetic floor for batched mid-size matrices.  Here every
+    panel is a STATIC step: one batched nb x nb potrf (tiny), one trtri
+    block inverse (:func:`_invert_lower_blocks`), and two large MXU matmuls
+    (panel TRSM-as-matmul against W, trailing syrk) — the shapes shrink
+    statically, vmap composes, and XLA fuses the scale/update chain.
+
+    Precision: the trailing syrk accumulates across m/nb panels into the
+    matrix later panels factor, so it uses HIGHEST (f32-faithful) — a
+    1-pass bf16 product here is the same trap as the failed bf16
+    preconditioner assembly (endgame small-eigenvalue directions drown).
+    """
+    m = Ms.shape[-1]
+    hp = jax.lax.Precision.HIGHEST
+    dt = Ms.dtype
+    T = Ms
+    cols = []
+    winvs = []
+    for o in range(0, m, nb):
+        Ld = jnp.linalg.cholesky(T[:nb, :nb])
+        Wd = _invert_lower_blocks(Ld[None])[0]
+        winvs.append(Wd)
+        if m - o - nb > 0:
+            P = jnp.matmul(T[nb:, :nb], Wd.T, precision=hp)
+            T = T[nb:, nb:] - jnp.matmul(P, P.T, precision=hp)
+            col = jnp.concatenate([Ld, P], axis=0)
+        else:
+            col = Ld
+        if o:
+            col = jnp.concatenate([jnp.zeros((o, nb), dt), col], axis=0)
+        cols.append(col)
+    return jnp.concatenate(cols, axis=1), jnp.stack(winvs)
 
 
 def _invert_lower_blocks(blocks: jax.Array, base: int = 32) -> jax.Array:
@@ -199,7 +243,7 @@ def use_fused_matvec(opts: SolverOptions, A: jax.Array) -> bool:
 
 
 def _chol_solve(fac: NormalEqFactor, rhs: jax.Array, backend: str) -> jax.Array:
-    if backend in ("pallas", "hybrid"):
+    if backend in ("pallas", "hybrid", "blocked"):
         from ipx.kernels import cholesky as pk
         m = rhs.shape[-1]
         m_pad = fac.L.shape[-1]

@@ -118,6 +118,9 @@ class SolverOptions:
     chol_backend: str = "xla"   # "xla" (jnp.linalg.cholesky + XLA trsm)
                                 # | "pallas" (Mosaic factor + fused solves)
                                 # | "hybrid" (XLA potrf + Pallas fused solves)
+                                # | "blocked" (XLA-level blocked right-
+                                #   looking factor, W co-computed, + Pallas
+                                #   fused solves — see normal_eq._blocked_potrf)
     # Matvec backend for the f32 dense route: "fused" evaluates the
     # matrix-free normal operator / KKT-refinement rhs with the A-resident
     # Pallas stripe kernel (ipx/kernels/fused.py) — ONE stream of A where
@@ -153,12 +156,14 @@ class SolverOptions:
             raise ValueError(f"unsupported a_storage {self.a_storage!r}")
         if self.a_storage == "bfloat16" and self.dtype != "float32":
             raise ValueError("a_storage='bfloat16' requires dtype='float32'")
+        if self.chol_backend not in ("xla", "pallas", "hybrid", "blocked"):
+            raise ValueError(f"unsupported chol_backend {self.chol_backend!r}")
         if self.dtype == "float64" and self.chol_backend != "xla":
             # the Mosaic kernels are f32-only; a silent downcast of the
             # factor would betray an explicit f64 request (ADVICE r1)
             raise ValueError(
-                "chol_backend='pallas'/'hybrid' kernels are float32-only; "
-                "use chol_backend='xla' with dtype='float64'")
+                "chol_backend='pallas'/'hybrid'/'blocked' solves are "
+                "float32-only; use chol_backend='xla' with dtype='float64'")
 
     def replace(self, **kw) -> "SolverOptions":
         return dataclasses.replace(self, **kw)
