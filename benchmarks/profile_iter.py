@@ -162,13 +162,21 @@ def main() -> int:
     Ms0 = jax.block_until_ready(jax.jit(lambda L: jnp.matmul(
         jnp.tril(L), jnp.swapaxes(jnp.tril(L), 1, 2)))(fac0.L))
 
+    # NOTE on carries: every stage fn RETURNS only small arrays (vectors /
+    # scalars).  Returning the (B, m, m) carry makes the sync fetch 512MB
+    # through the tunnel per call, whose throughput variance swamps the
+    # timing signal entirely (measured: "potrf 162ms" inside a 124ms/iter
+    # bench — impossible).  The matrix carries below are reduced ON DEVICE
+    # to a (B, m) diagonal before returning.
+
     @functools.partial(jax.jit, static_argnums=(0,))
     def run_potrf(k, Ms):
         def body(_, Ms):
             L = jnp.linalg.cholesky(Ms)
             return Ms + one * jnp.abs(
                 jnp.diagonal(L, axis1=-2, axis2=-1))[:, :, None]
-        return jax.lax.fori_loop(0, k, body, Ms)
+        out = jax.lax.fori_loop(0, k, body, Ms)
+        return jnp.diagonal(out, axis1=-2, axis2=-1)
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def run_winv(k, L):
@@ -180,8 +188,23 @@ def main() -> int:
                 [L[:, j * pk.NB:(j + 1) * pk.NB, j * pk.NB:(j + 1) * pk.NB]
                  for j in range(nblk)], axis=1)
             W = jax.vmap(normal_eq._invert_lower_blocks)(blocks)
-            return L + one * jnp.abs(W[:, 0, :1, :1])
-        return jax.lax.fori_loop(0, k, body, L)
+            # full reduction of W: a single-element pick would let XLA
+            # slice-propagate away most of the inversion work
+            return L + one * jnp.mean(jnp.abs(W), axis=(1, 2, 3))[:, None,
+                                                                  None]
+        out = jax.lax.fori_loop(0, k, body, L)
+        return jnp.diagonal(out, axis1=-2, axis2=-1)
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def run_blocked_factor(k, Ms):
+        def body(_, Ms):
+            Lb, Wb = jax.vmap(
+                lambda M: normal_eq._blocked_potrf(M, 128))(Ms)
+            return Ms + one * (jnp.abs(
+                jnp.diagonal(Lb, axis1=-2, axis2=-1))
+                + jnp.mean(jnp.abs(Wb), axis=(1, 2, 3))[:, None])[:, :, None]
+        out = jax.lax.fori_loop(0, k, body, Ms)
+        return jnp.diagonal(out, axis1=-2, axis2=-1)
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def run_pallas_factor(k, Ms):
@@ -189,9 +212,11 @@ def main() -> int:
 
         def body(_, Ms):
             L, W = pk.cholesky_batched(Ms)
-            return Ms + one * jnp.abs(
-                jnp.diagonal(L, axis1=-2, axis2=-1))[:, :, None]
-        return jax.lax.fori_loop(0, k, body, Ms)
+            return Ms + one * (jnp.abs(
+                jnp.diagonal(L, axis1=-2, axis2=-1))
+                + jnp.mean(jnp.abs(W), axis=(1, 2, 3))[:, None])[:, :, None]
+        out = jax.lax.fori_loop(0, k, body, Ms)
+        return jnp.diagonal(out, axis1=-2, axis2=-1)
 
     def sync_state(out):
         return float(np.asarray(out.mu).sum())
@@ -208,6 +233,7 @@ def main() -> int:
         "solve": (run_solve, (fac0, blp.A, rhs_0), sync_arr),
         "potrf": (run_potrf, (Ms0,), sync_arr),
         "winv": (run_winv, (fac0.L,), sync_arr),
+        "blocked_factor": (run_blocked_factor, (Ms0,), sync_arr),
         "pallas_factor": (run_pallas_factor, (Ms0,), sync_arr),
     }
     subset = [s for s in args.stages.split(",") if s]
