@@ -114,8 +114,14 @@ def main() -> int:
         def body(_, d2):
             fac = jax.vmap(lambda a, d: normal_eq.factor(a, d, opts))(
                 blp.A, d2)
-            return d2 + one * jnp.abs(
-                jnp.diagonal(fac.L, axis1=-2, axis2=-1)[:, :1])
+            # consume L, W AND j: folding only diag(L) back lets XLA
+            # dead-code-eliminate the entire W inversion (measured: "factor"
+            # came out ~= assemble + potrf alone)
+            used = (jnp.abs(jnp.diagonal(fac.L, axis1=-2, axis2=-1)[:, :1])
+                    + jnp.abs(fac.j[:, :1]))
+            if fac.W.ndim >= 3:
+                used = used + jnp.mean(jnp.abs(fac.W), axis=(1, 2, 3))[:, None]
+            return d2 + one * used
         return jax.lax.fori_loop(0, k, body, d2)
 
     @functools.partial(jax.jit, static_argnums=(0,))
