@@ -161,7 +161,7 @@ def factor(A: jax.Array, d2: jax.Array, opts: SolverOptions,
     return NormalEqFactor(L=L, j=j, d2=d2, ok=ok, W=W, M=M_op)
 
 
-def _blocked_potrf(Ms: jax.Array, nb: int = 128):
+def _blocked_potrf(Ms: jax.Array, nb: int = 128, precision=None):
     """Right-looking blocked Cholesky at the XLA level: returns (L, W) with
     W the (m/nb, nb, nb) diagonal-block inverses the Pallas pair-solve
     kernel consumes — computed as a BY-PRODUCT of the panel steps, so the
@@ -182,7 +182,7 @@ def _blocked_potrf(Ms: jax.Array, nb: int = 128):
     preconditioner assembly (endgame small-eigenvalue directions drown).
     """
     m = Ms.shape[-1]
-    hp = jax.lax.Precision.HIGHEST
+    hp = precision if precision is not None else jax.lax.Precision.HIGHEST
     dt = Ms.dtype
     T = Ms
     cols = []
@@ -200,7 +200,16 @@ def _blocked_potrf(Ms: jax.Array, nb: int = 128):
         if o:
             col = jnp.concatenate([jnp.zeros((o, nb), dt), col], axis=0)
         cols.append(col)
-    return jnp.concatenate(cols, axis=1), jnp.stack(winvs)
+    L = jnp.concatenate(cols, axis=1)
+    if nb == 128:
+        W = jnp.stack(winvs)
+    else:
+        # pair solves consume 128-blocks regardless of the panel width:
+        # re-derive them from L's diagonal (one extra small trtri pass)
+        blocks = jnp.stack([L[k * 128:(k + 1) * 128, k * 128:(k + 1) * 128]
+                            for k in range(m // 128)])
+        W = _invert_lower_blocks(blocks)
+    return L, W
 
 
 def _invert_lower_blocks(blocks: jax.Array, base: int = 32) -> jax.Array:

@@ -80,3 +80,21 @@ def test_blocked_backend_end_to_end():
 def test_blocked_backend_rejected_for_f64():
     with pytest.raises(ValueError):
         ipx.SolverOptions(dtype="float64", chol_backend="blocked")
+
+
+@pytest.mark.parametrize("nb,prec", [(256, None), (128, "high")])
+def test_blocked_potrf_variants(nb, prec):
+    """Wider panels / 3-pass syrk precision: same factor, W stays 128."""
+    m = 512
+    M = _rand_spd(m, seed=nb).astype(np.float32)
+    precision = jax.lax.Precision.HIGH if prec == "high" else None
+    L, W = normal_eq._blocked_potrf(jnp.asarray(M), nb, precision)
+    L_ref = np.linalg.cholesky(M.astype(np.float64))
+    np.testing.assert_allclose(np.asarray(L), L_ref, rtol=2e-3,
+                               atol=5e-5 * np.abs(L_ref).max())
+    assert W.shape == (m // pk.NB, pk.NB, pk.NB)
+    for k in range(m // pk.NB):
+        blk = np.asarray(L)[k * pk.NB:(k + 1) * pk.NB,
+                            k * pk.NB:(k + 1) * pk.NB]
+        np.testing.assert_allclose(np.asarray(W)[k] @ blk, np.eye(pk.NB),
+                                   atol=5e-4)
