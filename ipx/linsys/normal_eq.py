@@ -326,7 +326,7 @@ def solve(fac: NormalEqFactor, A: jax.Array, rhs: jax.Array,
     z = precond(r)
     p = z
     rz = jnp.vdot(r, z)
-    for _ in range(opts.refine_steps):
+    for i in range(opts.refine_steps):
         Ap = op(p)
         pAp = jnp.vdot(p, Ap)
         # Guards: pAp <= 0 only from rounding at exact convergence —
@@ -335,6 +335,12 @@ def solve(fac: NormalEqFactor, A: jax.Array, rhs: jax.Array,
         alpha = jnp.where(ok, rz / jnp.where(ok, pAp, jnp.ones((), dt)),
                           jnp.zeros((), dt))
         y = y + alpha * p
+        if i == opts.refine_steps - 1:
+            # the remaining recurrences (r, z = precond(r), beta, p) feed
+            # only a next iteration that doesn't exist — dropping them is
+            # bit-identical in y and saves one preconditioner pair-solve
+            # (an L + L^T stream) per solve call
+            break
         r = r - alpha * Ap
         z = precond(r)
         rz_new = jnp.vdot(r, z)

@@ -244,13 +244,17 @@ def solve(fac: SchurFactor, A: jax.Array, rhs: jax.Array,
     z = _precond(fac, r, mesh)
     p_ = z
     rz = jnp.vdot(r, z)
-    for _ in range(opts.refine_steps):
+    for i in range(opts.refine_steps):
         Ap = op(p_)
         pAp = jnp.vdot(p_, Ap)
         ok = pAp > tiny
         alpha = jnp.where(ok, rz / jnp.where(ok, pAp, jnp.ones((), dt)),
                           jnp.zeros((), dt))
         y = y + alpha * p_
+        if i == opts.refine_steps - 1:
+            # last-iteration tail (r, precond, beta, p) feeds nothing —
+            # skipping it is bit-identical in y (see normal_eq.solve)
+            break
         r = r - alpha * Ap
         z = _precond(fac, r, mesh)
         rz_new = jnp.vdot(r, z)
