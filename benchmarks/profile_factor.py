@@ -77,22 +77,24 @@ def main() -> int:
         return chained_full(lambda Ms: jnp.abs(jnp.diagonal(
             jnp.linalg.cholesky(Ms), axis1=-2, axis2=-1)))
 
-    def blocked_fn(nb, prec):
+    def blocked_fn(nb, prec, diag="twolevel"):
         def f(Ms):
             L, W = jax.vmap(
-                lambda M: normal_eq._blocked_potrf(M, nb, prec))(Ms)
+                lambda M: normal_eq._blocked_potrf(M, nb, prec, diag))(Ms)
             return (jnp.abs(jnp.diagonal(L, axis1=-2, axis2=-1))
                     + jnp.mean(jnp.abs(W), axis=(1, 2, 3))[:, None])
         return f
 
-    def small_blocks():
+    def small_blocks(Ms):
+        # takes Ms as an ARGUMENT: closing over the 512MB batch embeds it
+        # in the compile request and the axon tunnel rejects it (HTTP 413)
         nblk = m // 128
         return jnp.reshape(
-            jnp.stack([Ms0[:, j * 128:(j + 1) * 128, j * 128:(j + 1) * 128]
+            jnp.stack([Ms[:, j * 128:(j + 1) * 128, j * 128:(j + 1) * 128]
                        for j in range(nblk)], axis=1), (B * nblk, 128, 128))
 
     def chained_small(fn):
-        D0 = jax.block_until_ready(jax.jit(small_blocks)())
+        D0 = jax.block_until_ready(jax.jit(small_blocks)(Ms0))
 
         @functools.partial(jax.jit, static_argnums=(0,))
         def run(k, D):
@@ -110,6 +112,7 @@ def main() -> int:
             normal_eq._invert_lower_blocks(jnp.tril(D) + 4.0 * jnp.eye(
                 128, dtype=jnp.float32))), axis=(1, 2))[:, None]),
         "blocked": lambda: chained_full(blocked_fn(128, HP)),
+        "blocked_xladiag": lambda: chained_full(blocked_fn(128, HP, "xla")),
         "blocked_high": lambda: chained_full(blocked_fn(128, HI)),
         "blocked256": lambda: chained_full(blocked_fn(256, HP)),
         "blocked256_high": lambda: chained_full(blocked_fn(256, HI)),
