@@ -98,3 +98,17 @@ def test_blocked_potrf_variants(nb, prec):
                             k * pk.NB:(k + 1) * pk.NB]
         np.testing.assert_allclose(np.asarray(W)[k] @ blk, np.eye(pk.NB),
                                    atol=5e-4)
+
+
+def test_blocked_backend_batched():
+    import ipx
+    from ipx.problem.generate import random_feasible_lp
+    from ipx.problem.lp import make_lp
+    gs = [random_feasible_lp(96, 192, seed=20 + i) for i in range(3)]
+    opts = ipx.SolverOptions(dtype="float32", chol_backend="blocked",
+                             matvec_backend="fused")
+    sols = ipx.solve_batch([make_lp(g.c, g.A, g.b) for g in gs],
+                           options=opts)
+    for g, s in zip(gs, sols):
+        assert s.optimal, s.status_name
+        assert abs(s.objective - g.obj_star) / (1 + abs(g.obj_star)) <= 2e-6
