@@ -38,8 +38,11 @@ def main() -> int:
     p.add_argument("--quick", action="store_true",
                    help="small shapes for smoke-testing the harness")
     p.add_argument("--chol-backend", choices=["xla", "pallas", "hybrid", "blocked"],
-                   default="hybrid",
-                   help="factorization backend A/B (production: hybrid)")
+                   default="blocked",
+                   help="factorization backend A/B (production: blocked — "
+                        "XLA-level blocked factor + Pallas pair solves; "
+                        "measured 1588 vs 1252 inst-iters/s over hybrid "
+                        "at B=256 bf16)")
     p.add_argument("--chunks", type=int, default=1,
                    help="split the batch into this many sequential "
                         "device-program chunks (the B=1024 contract batch "
