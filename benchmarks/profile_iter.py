@@ -49,9 +49,15 @@ def main() -> int:
                     default="hybrid")
     ap.add_argument("--stages", default="",
                     help="comma-separated subset (default: all)")
+    ap.add_argument("--platform", choices=["cpu", "tpu"], default=None,
+                    help="force a jax platform (cpu = smoke-test the "
+                         "harness; the JAX_PLATFORMS env var is ignored "
+                         "under the axon plugin)")
     args = ap.parse_args()
 
     import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
     import ipx
     from ipx.ipm import batched, mehrotra
@@ -224,6 +230,35 @@ def main() -> int:
         out = jax.lax.fori_loop(0, k, body, Ms)
         return jnp.diagonal(out, axis1=-2, axis2=-1)
 
+    # --- solve sub-stages: where do the ~3ms beyond (2 precond + 2 ata) go?
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def run_cgchain(k, L, W, A, d2, r):
+        """precond -> ata -> precond -> ata serial chain, NO CG vdots —
+        the pure stage-latency floor of one refine_steps=1 solve."""
+        from ipx.kernels import cholesky as pk
+        from ipx.kernels import fused as fk
+
+        def body(_, r):
+            y = pk.chol_solve_batched(L, W, r)
+            t, _ = jax.vmap(lambda a, vv, d: fk.ata_apply(a, vv, d, None))(
+                A, y, d2)
+            z = pk.chol_solve_batched(L, W, r - t)
+            t2, _ = jax.vmap(lambda a, vv, d: fk.ata_apply(a, vv, d, None))(
+                A, z, d2)
+            return r + one * (y + t2)
+        return jax.lax.fori_loop(0, k, body, r)
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def run_precond_vmapped(k, fac, r):
+        """The pair solve AS normal_eq.solve calls it: per-instance
+        _chol_solve under vmap (L[None] batch-1 kernel calls) — vs the
+        direct (B, m, m) batch of the "precond" stage."""
+        def body(_, r):
+            y = jax.vmap(lambda f, b: normal_eq._chol_solve(
+                f, b, opts.chol_backend))(fac, r)
+            return r + one * y
+        return jax.lax.fori_loop(0, k, body, r)
+
     def sync_state(out):
         return float(np.asarray(out.mu).sum())
 
@@ -241,6 +276,9 @@ def main() -> int:
         "winv": (run_winv, (fac0.L,), sync_arr),
         "blocked_factor": (run_blocked_factor, (Ms0,), sync_arr),
         "pallas_factor": (run_pallas_factor, (Ms0,), sync_arr),
+        "cgchain": (run_cgchain,
+                    (fac0.L, fac0.W, blp.A, fac0.d2, rhs_0), sync_arr),
+        "precond_vmapped": (run_precond_vmapped, (fac0, rhs_0), sync_arr),
     }
     subset = [s for s in args.stages.split(",") if s]
     if subset:
