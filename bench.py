@@ -51,6 +51,11 @@ def main() -> int:
     p.add_argument("--gondzio", type=int, default=0,
                    help="Gondzio multiple centrality correctors per "
                         "iteration (A/B probe; 0 = production default)")
+    p.add_argument("--proj-cg-iters", type=int, default=None,
+                   help="CG iterations for the feasibility-projection "
+                        "solve (A/B probe; the AA^T factor is exact up to "
+                        "reg=1e-8, so 0 = one direct pair-solve may "
+                        "suffice — default: SolverOptions default)")
     p.add_argument("--a-storage", choices=["float32", "bfloat16"],
                    default="bfloat16",
                    help="store the batch's A tensors bf16 (halves HBM "
@@ -96,11 +101,14 @@ def main() -> int:
     # refinements + hybrid backend (XLA potrf, Pallas fused pair-solves).
     # The correctness probe below runs the SAME config to convergence and
     # reports its achieved rel gap alongside the timing.
+    opt_kw = {}
+    if args.proj_cg_iters is not None:
+        opt_kw["proj_cg_iters"] = args.proj_cg_iters
     opts = ipx.SolverOptions(dtype="float32", max_iter=args.iters + 1,
                              chol_backend=args.chol_backend, refine_steps=1,
                              matvec_backend="fused",
                              gondzio_correctors=args.gondzio,
-                             a_storage=args.a_storage)
+                             a_storage=args.a_storage, **opt_kw)
 
     # --- build batch (ON DEVICE) --------------------------------------------
     # Every instance is DISTINCT (VERDICT r1 weak #4), generated directly on
@@ -195,7 +203,7 @@ def main() -> int:
                                          chol_backend=args.chol_backend,
                                          refine_steps=1,
                                          matvec_backend="fused",
-                                         a_storage=args.a_storage))
+                                         a_storage=args.a_storage, **opt_kw))
     gaps = [s.rel_gap for s in sols]
     n_opt = sum(s.optimal for s in sols)
     iters = [s.iterations for s in sols]
@@ -230,6 +238,7 @@ def main() -> int:
             "sec_per_batched_iter": round(t_iter, 5),
             "batch": B, "m": m, "n": n, "chunks": args.chunks,
             "gondzio_correctors": args.gondzio,
+            "proj_cg_iters": args.proj_cg_iters,
             "est_lps_solved_per_s": round(solves_per_s, 2),
             "probe_optimal": f"{n_opt}/{probe_B}",
             "probe_max_rel_gap": float(np.max(gaps)) if gaps else None,
