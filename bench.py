@@ -160,8 +160,15 @@ def main() -> int:
     # stays device-resident, exactly like a chunked production solve.
     assert B % args.chunks == 0, "batch must divide into --chunks"
     Bc = B // args.chunks
-    chunk_lps = [jax.tree_util.tree_map(lambda x: x[i * Bc:(i + 1) * Bc], blp)
-                 for i in range(args.chunks)]
+    if args.chunks == 1:
+        chunk_lps = [blp]
+    else:
+        # device slices are COPIES — drop the full-batch tensors afterwards
+        # or A is resident twice (the 4.3GB bf16 A at B=1024 OOMs doubled)
+        chunk_lps = [jax.tree_util.tree_map(
+            lambda x, i=i: jax.block_until_ready(x[i * Bc:(i + 1) * Bc]), blp)
+            for i in range(args.chunks)]
+        del blp
     chunk_states = [jax.block_until_ready(start(lp_c, opts))
                     for lp_c in chunk_lps]
 
@@ -196,8 +203,8 @@ def main() -> int:
     instance_iters_per_s = B * batched_iters_per_s
 
     # --- correctness probe: full convergent solve on a sub-batch -----------
-    probe_B = min(B, 4)
-    probe = jax.tree_util.tree_map(lambda leaf: leaf[:probe_B], blp)
+    probe_B = min(Bc, 4)
+    probe = jax.tree_util.tree_map(lambda leaf: leaf[:probe_B], chunk_lps[0])
     sols = ipx.solve_batch(
         probe, options=ipx.SolverOptions(dtype="float32", max_iter=48,
                                          chol_backend=args.chol_backend,

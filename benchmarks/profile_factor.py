@@ -104,8 +104,44 @@ def main() -> int:
             return jnp.diagonal(out, axis1=-2, axis2=-1)
         return run, (D0,)
 
+    def trsmsyrk_fn(Ms):
+        # The blocked factor's MATMUL chain in isolation: per panel one
+        # (B, m-o, 128) @ (B, 128, 128) "TRSM-as-matmul" against a FIXED
+        # W (no diag dependency) and one trailing (B, m-o, 128) @
+        # (B, 128, m-o) syrk, shapes shrinking statically.  blocked -
+        # trsmsyrk - diagchain ~ the overhead XLA adds stitching them.
+        W0 = jnp.eye(128, dtype=jnp.float32) * 0.5
+        T = Ms
+        diags = []
+        for o in range(0, m, 128):
+            if m - o - 128 > 0:
+                P = jnp.matmul(T[:, 128:, :128], W0.T, precision=HP)
+                T = T[:, 128:, 128:] - jnp.matmul(
+                    P, jnp.swapaxes(P, 1, 2), precision=HP)
+                diags.append(P[:, 0, :])
+            else:
+                diags.append(T[:, 0, :128])
+        return jnp.abs(jnp.concatenate(diags, axis=1)[:, :m])
+
+    def diagchain_fn(Ms):
+        # The SEQUENTIAL diag chain in isolation: 8 dependent two-level
+        # 128-block factors (each feeds the next through a rank-1-ish
+        # perturbation), batched over B — the serial-latency floor of the
+        # blocked backend's critical path.
+        from ipx.kernels import cholesky as pk
+        D = Ms[:, :128, :128]
+        acc = jnp.zeros((B, 128), jnp.float32)
+        for _ in range(m // 128):
+            Ld, Wd = pk._factor_block_twolevel(D)
+            d = jnp.abs(jnp.diagonal(Ld, axis1=-2, axis2=-1))
+            acc = acc + d + jnp.mean(jnp.abs(Wd), axis=(1, 2))[:, None]
+            D = D + 1e-6 * d[:, :, None]
+        return jnp.tile(acc, (1, m // 128))
+
     stages = {
         "potrf": stage_potrf,
+        "trsmsyrk": lambda: chained_full(trsmsyrk_fn),
+        "diagchain": lambda: chained_full(diagchain_fn),
         "potrf128": lambda: chained_small(lambda D: jnp.abs(jnp.diagonal(
             jnp.linalg.cholesky(D), axis1=-2, axis2=-1))),
         "trtri128": lambda: chained_small(lambda D: jnp.mean(jnp.abs(
