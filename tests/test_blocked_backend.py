@@ -112,3 +112,19 @@ def test_blocked_backend_batched():
     for g, s in zip(gs, sols):
         assert s.optimal, s.status_name
         assert abs(s.objective - g.obj_star) / (1 + abs(g.obj_star)) <= 2e-6
+
+
+def test_throughput_preset():
+    """SolverOptions.throughput() solves exactly (no silent bf16 rounding
+    of the user's A) and accepts keyword overrides."""
+    import ipx
+    from ipx.problem.generate import random_feasible_lp
+    opts = ipx.SolverOptions.throughput()
+    assert opts.a_storage == "float32"   # presets must not perturb user data
+    assert opts.chol_backend == "blocked" and opts.proj_cg_iters == 0
+    assert ipx.SolverOptions.throughput(refine_steps=2).refine_steps == 2
+    g = random_feasible_lp(96, 192, seed=7)
+    sol = ipx.solve(g.c, g.A, g.b, options=opts)
+    assert sol.optimal, sol.status_name
+    rel = abs(sol.objective - g.obj_star) / (1 + abs(g.obj_star))
+    assert rel <= 2e-6, rel
