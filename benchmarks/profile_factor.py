@@ -85,6 +85,11 @@ def main() -> int:
                     + jnp.mean(jnp.abs(W), axis=(1, 2, 3))[:, None])
         return f
 
+    def blocked_left_fn(Ms):
+        L, W = jax.vmap(lambda M: normal_eq._blocked_potrf_left(M, 128))(Ms)
+        return (jnp.abs(jnp.diagonal(L, axis1=-2, axis2=-1))
+                + jnp.mean(jnp.abs(W), axis=(1, 2, 3))[:, None])
+
     def small_blocks(Ms):
         # takes Ms as an ARGUMENT: closing over the 512MB batch embeds it
         # in the compile request and the axon tunnel rejects it (HTTP 413)
@@ -148,6 +153,7 @@ def main() -> int:
             normal_eq._invert_lower_blocks(jnp.tril(D) + 4.0 * jnp.eye(
                 128, dtype=jnp.float32))), axis=(1, 2))[:, None]),
         "blocked": lambda: chained_full(blocked_fn(128, HP)),
+        "blocked_left": lambda: chained_full(blocked_left_fn),
         "blocked_xladiag": lambda: chained_full(blocked_fn(128, HP, "xla")),
         "blocked_high": lambda: chained_full(blocked_fn(128, HI)),
         "blocked256": lambda: chained_full(blocked_fn(256, HP)),

@@ -223,6 +223,61 @@ def _blocked_potrf(Ms: jax.Array, nb: int = 128, precision=None,
     return L, W
 
 
+def _blocked_potrf_left(Ms: jax.Array, nb: int = 128, precision=None):
+    """Left-looking variant of :func:`_blocked_potrf` (same (L, W) contract).
+
+    The right-looking form materializes the whole trailing matrix every
+    panel (sum over panels of (m-o)^2 read+write ~ 2/3 m^3/nb elements of
+    HBM round-trips).  Left-looking instead DEFERS updates: each panel
+    reads the original column panel of M plus the already-computed L
+    columns and applies one matmul
+
+        C = M[o:, o:o+nb] - L[o:, :o] @ L[o:o+nb, :o]^T
+
+    touching ~2.3x fewer HBM elements at m=1024/nb=128.  FLOPs and
+    numerical behavior are identical (same Schur complements, evaluated
+    lazily; the accumulation matmul runs at the same precision as the
+    right-looking trailing syrk).
+    """
+    m = Ms.shape[-1]
+    hp = precision if precision is not None else jax.lax.Precision.HIGHEST
+    dt = Ms.dtype
+    cols = []
+    winvs = []
+    for o in range(0, m, nb):
+        C = Ms[o:, o:o + nb]
+        if o:
+            Lbelow = jnp.concatenate(
+                [col[o:] for col in cols], axis=1)           # (m-o, o)
+            Lrow = jnp.concatenate(
+                [col[o:o + nb] for col in cols], axis=1)     # (nb, o)
+            C = C - jnp.matmul(Lbelow, Lrow.T, precision=hp)
+        if nb == 128:
+            from ipx.kernels import cholesky as pk
+            Ld1, Wd1 = pk._factor_block_twolevel(C[None, :nb, :nb])
+            Ld, Wd = Ld1[0], Wd1[0]
+        else:
+            Ld = jnp.linalg.cholesky(C[:nb, :nb])
+            Wd = _invert_lower_blocks(Ld[None])[0]
+        winvs.append(Wd)
+        if m - o - nb > 0:
+            P = jnp.matmul(C[nb:], Wd.T, precision=hp)
+            col = jnp.concatenate([Ld, P], axis=0)
+        else:
+            col = Ld
+        if o:
+            col = jnp.concatenate([jnp.zeros((o, nb), dt), col], axis=0)
+        cols.append(col)
+    L = jnp.concatenate(cols, axis=1)
+    if nb == 128:
+        W = jnp.stack(winvs)
+    else:
+        blocks = jnp.stack([L[k * 128:(k + 1) * 128, k * 128:(k + 1) * 128]
+                            for k in range(m // 128)])
+        W = _invert_lower_blocks(blocks)
+    return L, W
+
+
 def _invert_lower_blocks(blocks: jax.Array, base: int = 32) -> jax.Array:
     """inv of (nb, q, q) lower-triangular blocks, LAPACK-trtri style:
     recursive 2x2 splitting  inv([[A,0],[B,C]]) = [[iA,0],[-iC B iA, iC]]

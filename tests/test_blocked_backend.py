@@ -128,3 +128,19 @@ def test_throughput_preset():
     assert sol.optimal, sol.status_name
     rel = abs(sol.objective - g.obj_star) / (1 + abs(g.obj_star))
     assert rel <= 2e-6, rel
+
+
+def test_blocked_potrf_left_matches_right():
+    """Left-looking variant: same (L, W) contract as _blocked_potrf."""
+    m = 512
+    M = _rand_spd(m, seed=3).astype(np.float32)
+    L, W = normal_eq._blocked_potrf_left(jnp.asarray(M), 128)
+    L_ref = np.linalg.cholesky(M.astype(np.float64))
+    np.testing.assert_allclose(np.asarray(L), L_ref, rtol=2e-3,
+                               atol=5e-5 * np.abs(L_ref).max())
+    assert W.shape == (m // pk.NB, pk.NB, pk.NB)
+    for k in range(m // pk.NB):
+        blk = np.asarray(L)[k * pk.NB:(k + 1) * pk.NB,
+                            k * pk.NB:(k + 1) * pk.NB]
+        np.testing.assert_allclose(np.asarray(W)[k] @ blk, np.eye(pk.NB),
+                                   atol=5e-4)
