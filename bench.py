@@ -37,7 +37,9 @@ def main() -> int:
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--quick", action="store_true",
                    help="small shapes for smoke-testing the harness")
-    p.add_argument("--chol-backend", choices=["xla", "pallas", "hybrid", "blocked"],
+    p.add_argument("--chol-backend",
+                   choices=["xla", "pallas", "hybrid", "blocked",
+                            "blocked_left"],
                    default="blocked",
                    help="factorization backend A/B (production: blocked — "
                         "XLA-level blocked factor + Pallas pair solves; "
@@ -59,6 +61,11 @@ def main() -> int:
                         "4/4 OPTIMAL <=1e-6.  The LIBRARY default stays 1 "
                         "— proj CG is load-bearing on degenerate "
                         "near-square instances (fuzz battery 29/30 at 0)")
+    p.add_argument("--refine-solve-cg", type=int, default=-1,
+                   help="CG iterations for the normal-eq solves inside KKT "
+                        "refinement sweeps (-1 = same as refine_steps; 0 = "
+                        "direct preconditioner apply, one pair-solve per "
+                        "sweep instead of two)")
     p.add_argument("--a-storage", choices=["float32", "bfloat16"],
                    default="bfloat16",
                    help="store the batch's A tensors bf16 (halves HBM "
@@ -71,9 +78,16 @@ def main() -> int:
                         "the axon plugin)")
     args = p.parse_args()
 
+    import os
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    # Persistent compilation cache: under the axon tunnel each remote
+    # compile costs minutes; warm reruns of the same shapes skip them.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import ipx
     from ipx.ipm import batched
@@ -111,6 +125,7 @@ def main() -> int:
                              chol_backend=args.chol_backend, refine_steps=1,
                              matvec_backend="fused",
                              gondzio_correctors=args.gondzio,
+                             refine_solve_cg=args.refine_solve_cg,
                              a_storage=args.a_storage, **opt_kw)
 
     # --- build batch (ON DEVICE) --------------------------------------------
@@ -213,6 +228,7 @@ def main() -> int:
                                          chol_backend=args.chol_backend,
                                          refine_steps=1,
                                          matvec_backend="fused",
+                                         refine_solve_cg=args.refine_solve_cg,
                                          a_storage=args.a_storage, **opt_kw))
     gaps = [s.rel_gap for s in sols]
     n_opt = sum(s.optimal for s in sols)

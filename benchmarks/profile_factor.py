@@ -47,6 +47,10 @@ def main() -> int:
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from ipx.linsys import normal_eq
 

@@ -135,7 +135,14 @@ def mehrotra_step(lp: LP, state: IPMState, opts: SolverOptions,
     d2 = x / s
     fac = normal_eq.factor(A, d2, opts, reg_scale=state.reg_boost)
 
-    def newton_direction(e_p, e_d, e_xs):
+    # Options for the normal-eq solves INSIDE refinement sweeps: the sweep
+    # rhs is an already-small KKT residual, so a cheaper solve (fewer CG
+    # iterations; refine_solve_cg=0 is one direct pair-solve) perturbs the
+    # correction only at second order.  -1 keeps the main solve's CG count.
+    ref_opts = (opts if opts.refine_solve_cg < 0
+                else opts.replace(refine_steps=opts.refine_solve_cg))
+
+    def newton_direction(e_p, e_d, e_xs, sopts=opts):
         """Solve the Newton system  A dx = -e_p;  A^T dy + ds = -e_d;
         S dx + X ds = -e_xs  via the normal equations (or the augmented
         system when opts.linsys == "augmented" — no condition squaring,
@@ -150,11 +157,11 @@ def mehrotra_step(lp: LP, state: IPMState, opts: SolverOptions,
         if fuse:
             from ipx.kernels import fused as fk
             rhs = -e_p - fk.a_matvec(A, d2 * e_d - e_xs / s)
-            dy = normal_eq.solve(fac, A, rhs, opts)
+            dy = normal_eq.solve(fac, A, rhs, sopts)
             ds = -e_d - fk.at_matvec(A, dy)
         else:
             rhs = -e_p - mv(A, d2 * e_d - e_xs / s, prec)
-            dy = normal_eq.solve(fac, A, rhs, opts)
+            dy = normal_eq.solve(fac, A, rhs, sopts)
             ds = -e_d - mv(A.T, dy, prec)
         dx = -(e_xs / s) - d2 * ds
         return dx, dy, ds
@@ -174,7 +181,7 @@ def mehrotra_step(lp: LP, state: IPMState, opts: SolverOptions,
             e_p = rp + mv(A, dx, prec)
             e_d = rd + mv(A.T, dy, prec) + ds
             e_xs = r_xs + s * dx + x * ds
-            ddx, ddy, dds = newton_direction(e_p, e_d, e_xs)
+            ddx, ddy, dds = newton_direction(e_p, e_d, e_xs, sopts=ref_opts)
             dx, dy, ds = dx + ddx, dy + ddy, dds + ds
         if fac_aat is not None and project:
             # Project dx onto {A dx = -rp} with the loop-invariant AA^T
@@ -231,7 +238,7 @@ def mehrotra_step(lp: LP, state: IPMState, opts: SolverOptions,
                 # discrepancy is amplified by d2 * dds (measured: 4e4x worse
                 # complementarity residual with e_d = rd + t + ds)
                 e_d = t + beta
-                ddy = normal_eq.solve(fac, A, -rp - yv, opts)
+                ddy = normal_eq.solve(fac, A, -rp - yv, ref_opts)
                 if last and do_proj:
                     # one stream: A @ dx_new and A^T ddy together
                     # (w = d2 ((A^T ddy) + e_d) + dx - e_xs/s = A-arg of

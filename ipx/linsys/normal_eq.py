@@ -117,7 +117,7 @@ def factor(A: jax.Array, d2: jax.Array, opts: SolverOptions,
     reg = jnp.asarray(opts.reg, M.dtype) * jnp.asarray(reg_scale, M.dtype)
     Ms = Ms + reg * jnp.eye(m, dtype=M.dtype)
 
-    if opts.chol_backend in ("pallas", "hybrid", "blocked"):
+    if opts.chol_backend in ("pallas", "hybrid", "blocked", "blocked_left"):
         # Imported lazily: the XLA path must stay importable everywhere.
         from ipx.kernels import cholesky as pk
         # Pad to a multiple of the 128 MXU tile with an identity extension:
@@ -135,6 +135,8 @@ def factor(A: jax.Array, d2: jax.Array, opts: SolverOptions,
             L, W = L[0], W[0]
         elif opts.chol_backend == "blocked":
             L, W = _blocked_potrf(Mp.astype(jnp.float32), pk.NB)
+        elif opts.chol_backend == "blocked_left":
+            L, W = _blocked_potrf_left(Mp.astype(jnp.float32), pk.NB)
         else:
             # hybrid: XLA's potrf for the factor; diag-block inverses via
             # the recursive trtri-style combine below (same scheme the
@@ -318,7 +320,7 @@ def use_fused_matvec(opts: SolverOptions, A: jax.Array) -> bool:
 
 
 def _chol_solve(fac: NormalEqFactor, rhs: jax.Array, backend: str) -> jax.Array:
-    if backend in ("pallas", "hybrid", "blocked"):
+    if backend in ("pallas", "hybrid", "blocked", "blocked_left"):
         from ipx.kernels import cholesky as pk
         m = rhs.shape[-1]
         m_pad = fac.L.shape[-1]

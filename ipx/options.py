@@ -49,6 +49,12 @@ class SolverOptions:
     # select "assembled" and validate with a convergence probe.
     cg_operator: str = "matrix_free"
     kkt_refine_steps: int = 2   # full-KKT refinement sweeps (corrector)
+    # CG iterations for the normal-eq solves INSIDE KKT refinement sweeps
+    # (-1 = same as refine_steps).  The sweep rhs is already a small KKT
+    # residual, so its correction tolerates a direct (CG-less)
+    # preconditioner apply: each sweep then costs ONE L/L^T pair-solve
+    # instead of two.  Bench A/B knob; the robust default keeps full CG.
+    refine_solve_cg: int = -1
     predictor_refine_steps: int = 2  # refinement sweeps for the affine
                                 # direction; lowering below the corrector's
                                 # stalls convergence at m~1024 scale (the
@@ -121,6 +127,10 @@ class SolverOptions:
                                 # | "blocked" (XLA-level blocked right-
                                 #   looking factor, W co-computed, + Pallas
                                 #   fused solves — see normal_eq._blocked_potrf)
+                                # | "blocked_left" (left-looking variant:
+                                #   defers trailing updates, ~2.3x fewer HBM
+                                #   round-trips at m=1024 — measured 20.7 vs
+                                #   21.9 ms at B=128)
     # Matvec backend for the f32 dense route: "fused" evaluates the
     # matrix-free normal operator / KKT-refinement rhs with the A-resident
     # Pallas stripe kernel (ipx/kernels/fused.py) — ONE stream of A where
@@ -152,11 +162,14 @@ class SolverOptions:
             raise ValueError(f"unsupported dtype {self.dtype!r}")
         if self.refine_steps < 0 or self.kkt_refine_steps < 0:
             raise ValueError("refinement step counts must be >= 0")
+        if self.refine_solve_cg < -1:
+            raise ValueError("refine_solve_cg must be >= -1")
         if self.a_storage not in ("float32", "bfloat16"):
             raise ValueError(f"unsupported a_storage {self.a_storage!r}")
         if self.a_storage == "bfloat16" and self.dtype != "float32":
             raise ValueError("a_storage='bfloat16' requires dtype='float32'")
-        if self.chol_backend not in ("xla", "pallas", "hybrid", "blocked"):
+        if self.chol_backend not in ("xla", "pallas", "hybrid", "blocked",
+                                     "blocked_left"):
             raise ValueError(f"unsupported chol_backend {self.chol_backend!r}")
         if self.dtype == "float64" and self.chol_backend != "xla":
             # the Mosaic kernels are f32-only; a silent downcast of the

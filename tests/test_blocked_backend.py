@@ -130,6 +130,17 @@ def test_throughput_preset():
     assert rel <= 2e-6, rel
 
 
+def test_blocked_left_backend_end_to_end():
+    from ipx.problem.generate import random_feasible_lp
+    g = random_feasible_lp(96, 192, seed=5)
+    sol = ipx.solve(g.c, g.A, g.b, presolve=False,
+                    options=ipx.SolverOptions(dtype="float32",
+                                              chol_backend="blocked_left"))
+    assert sol.optimal, sol.status_name
+    rel = abs(sol.objective - g.obj_star) / (1 + abs(g.obj_star))
+    assert rel <= 2e-6, f"rel err {rel:.2e}"
+
+
 def test_blocked_potrf_left_matches_right():
     """Left-looking variant: same (L, W) contract as _blocked_potrf."""
     m = 512
