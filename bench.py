@@ -40,11 +40,12 @@ def main() -> int:
     p.add_argument("--chol-backend",
                    choices=["xla", "pallas", "hybrid", "blocked",
                             "blocked_left"],
-                   default="blocked",
-                   help="factorization backend A/B (production: blocked — "
-                        "XLA-level blocked factor + Pallas pair solves; "
-                        "measured 1588 vs 1252 inst-iters/s over hybrid "
-                        "at B=256 bf16)")
+                   default="blocked_left",
+                   help="factorization backend A/B (production: "
+                        "blocked_left — XLA-level left-looking blocked "
+                        "factor + Pallas pair solves; measured 1713 vs "
+                        "1699 (blocked) vs 1252 (hybrid) inst-iters/s at "
+                        "B=256 bf16)")
     p.add_argument("--chunks", type=int, default=1,
                    help="split the batch into this many sequential "
                         "device-program chunks (the B=1024 contract batch "
@@ -61,11 +62,14 @@ def main() -> int:
                         "4/4 OPTIMAL <=1e-6.  The LIBRARY default stays 1 "
                         "— proj CG is load-bearing on degenerate "
                         "near-square instances (fuzz battery 29/30 at 0)")
-    p.add_argument("--refine-solve-cg", type=int, default=-1,
+    p.add_argument("--refine-solve-cg", type=int, default=0,
                    help="CG iterations for the normal-eq solves inside KKT "
                         "refinement sweeps (-1 = same as refine_steps; 0 = "
                         "direct preconditioner apply, one pair-solve per "
-                        "sweep instead of two)")
+                        "sweep instead of two).  Bench default 0: measured "
+                        "2054 vs 1713 inst-iters/s at B=256 (probe 4/4 "
+                        "<=9.8e-7; median iters 13 vs 11, but est solves/s "
+                        "also improved 158 vs 156).  Library default -1.")
     p.add_argument("--a-storage", choices=["float32", "bfloat16"],
                    default="bfloat16",
                    help="store the batch's A tensors bf16 (halves HBM "

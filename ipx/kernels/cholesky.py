@@ -48,12 +48,31 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _subst_invert(T):
-    """Batched inv of small (K, h, h) lower-triangular blocks by ROW-WISE
-    forward substitution — the kernel-side equivalent of the backward-stable
-    solve_triangular base case in ipx/linsys/normal_eq.py.  h sequential
-    steps, each a masked (K,1,h)x(K,h,h) batched dot; all indexing via iota
-    masks (no dynamic slices on register values)."""
+def _subst_invert(T, base: int = 8):
+    """Batched inv of (K, h, h) lower-triangular blocks, trtri-style.
+
+    The sequential-latency killer of the diagonal chain: a direct h-step
+    substitution is h dependent launches, but the trtri recursion halves
+    the block (STACKING both halves into the batch axis so each level is
+    ONE recursion) down to ``base``, where the substitution loop runs —
+    base sequential steps + log2(h/base) matmul combine levels instead of
+    h steps.  Same stable combine algebra as normal_eq._invert_lower_blocks.
+    """
+    K, h, _ = T.shape
+    if h > base:
+        hh = h // 2
+        sub = jnp.concatenate([T[:, :hh, :hh], T[:, hh:, hh:]], axis=0)
+        W = _subst_invert(sub, base)
+        return _combine_lower_inv(W[:K], W[K:], T[:, hh:, :hh])
+    return _subst_invert_loop(T)
+
+
+def _subst_invert_loop(T):
+    """Base case of :func:`_subst_invert`: ROW-WISE forward substitution —
+    h sequential steps, each a masked (K,1,h)x(K,h,h) batched dot; all
+    indexing via iota masks (no dynamic slices on register values); the
+    short loop is fully unrolled so XLA fuses across steps (one launch
+    instead of h)."""
     K, h, _ = T.shape
     dt = T.dtype
     rows = jax.lax.broadcasted_iota(jnp.int32, (1, h, h), 1)
@@ -79,7 +98,7 @@ def _subst_invert(T):
         w_row = (e_row - prod) / jnp.maximum(dii, tiny)
         return jnp.where(rows == i, w_row, W)
 
-    return jax.lax.fori_loop(0, h, body, jnp.zeros_like(T))
+    return jax.lax.fori_loop(0, h, body, jnp.zeros_like(T), unroll=True)
 
 
 def _combine_lower_inv(Wtop, Wbot, Bblk):
@@ -202,7 +221,12 @@ def _chol_small(blk):
         L = jnp.where(cols == j, l, L)
         return a, L
 
-    _, L = jax.lax.fori_loop(0, q, body, (blk, jnp.zeros_like(blk)))
+    # unroll=8: the rank-1 elimination steps are tiny VPU fusions; letting
+    # XLA fuse 8 dependent steps per launch cuts the sequential-launch
+    # count of the diagonal chain (measured: the chain, not FLOPs or HBM,
+    # dominates the blocked factor at m=1024)
+    _, L = jax.lax.fori_loop(0, q, body, (blk, jnp.zeros_like(blk)),
+                             unroll=8)
     return L
 
 
