@@ -45,8 +45,12 @@ def main() -> int:
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--a-storage", choices=["float32", "bfloat16"],
                     default="bfloat16")
-    ap.add_argument("--chol-backend", choices=["xla", "pallas", "hybrid", "blocked"],
-                    default="hybrid")
+    ap.add_argument("--chol-backend",
+                    choices=["xla", "pallas", "hybrid", "blocked",
+                             "blocked_left"],
+                    default="blocked_left")
+    ap.add_argument("--refine-solve-cg", type=int, default=0)
+    ap.add_argument("--proj-cg-iters", type=int, default=0)
     ap.add_argument("--stages", default="",
                     help="comma-separated subset (default: all)")
     ap.add_argument("--platform", choices=["cpu", "tpu"], default=None,
@@ -72,6 +76,8 @@ def main() -> int:
     opts = ipx.SolverOptions(dtype="float32", max_iter=32,
                              chol_backend=args.chol_backend, refine_steps=1,
                              matvec_backend="fused",
+                             refine_solve_cg=args.refine_solve_cg,
+                             proj_cg_iters=args.proj_cg_iters,
                              a_storage=args.a_storage)
 
     def _gen_one(k):

@@ -138,52 +138,43 @@ def _invert_lower_stable(L):
     return _combine_lower_inv(W01, W23, L[:, 2 * h:4 * h, 0:2 * h])
 
 
-def _factor_block_twolevel(blk, h: int = 32):
-    """Two-level batched Cholesky of (BS, NB, NB) SPD blocks + factor inverse.
+def _factor_block_twolevel(blk, h: int = 8):
+    """Batched Cholesky of (BS, NB, NB) SPD blocks + factor inverse.
 
-    The single-level column loop (:func:`_factor_diag_blocks`) runs NB
-    sequential steps on full (BS, NB, NB) arrays; here the block is factored
-    through NB/h right-looking panel steps whose sequential chains (an
-    h-wide column loop + an h-step substitution inverse) touch only
-    (BS, h, h) sub-blocks — ~(NB/h)^2 x less VPU work per sequential step.
-    The panel TRSM and trailing syrk become batched MXU matmuls, and the
-    sub-block inverses needed for the TRSM are exactly the substitution
-    bases of the trtri combines, so inv(L) is assembled from work already
-    done (two combine levels for NB/h = 4).
+    Fully recursive divide-and-conquer (the name survives from the original
+    two-level variant; ``h`` is now the recursion base width):
+
+        L11, W11 = factor(A11)            W = [[ W11,        0  ],
+        L21      = A21 @ W11^T                 [-W22 L21 W11, W22]]
+        L22, W22 = factor(A22 - L21 L21^T)
+
+    The sequential chain is NB dependent column steps no matter how the
+    block is split (elimination is column-sequential at the base), but the
+    PER-STEP cost is the base tile: recursing to h=8 cuts the masked VPU
+    work of each step ~16x vs the old 32-wide two-level scheme (measured:
+    the diag chain, not FLOPs or HBM, dominated the blocked factor), and
+    every other operation — sub-TRSM, trailing syrk, trtri combines — is a
+    batched MXU matmul.  inv(L) is co-computed by the same recursion, so no
+    separate inversion pass exists at all.
     """
     bs, q, _ = blk.shape
     dt = blk.dtype
-    nsub = q // h
-    assert nsub == 4, "two-level factor assumes NB/h == 4"
-
-    a_trail = blk                       # shrinking (BS, r, r) trailing block
-    col_blocks = []                     # full-height (BS, q, h) L columns
-    winvs = []                          # (BS, h, h) inv of diag sub-blocks
-    for i in range(nsub):
-        o = i * h
-        D = a_trail[:, :h, :h]
-        Ld = _chol_small(D)
-        Wd = _subst_invert(Ld)
-        winvs.append(Wd)
-        if i < nsub - 1:
-            below = a_trail[:, h:, :h]                       # (BS, r, h)
-            Lb = _bmm(below, jnp.swapaxes(Wd, 1, 2))
-            a_trail = (a_trail[:, h:, h:]
-                       - _bmm(Lb, jnp.swapaxes(Lb, 1, 2)))
-            parts = [Ld, Lb]
-        else:
-            parts = [Ld]
-        # no zero-size leading block at i == 0: Mosaic rejects 0-dim vectors
-        if o:
-            parts.insert(0, jnp.zeros((bs, o, h), dt))
-        col_blocks.append(parts[0] if len(parts) == 1
-                          else jnp.concatenate(parts, axis=1))
-    L = jnp.concatenate(col_blocks, axis=2)                  # (BS, q, q)
-
-    W01 = _combine_lower_inv(winvs[0], winvs[1], L[:, h:2 * h, 0:h])
-    W23 = _combine_lower_inv(winvs[2], winvs[3],
-                             L[:, 3 * h:4 * h, 2 * h:3 * h])
-    W = _combine_lower_inv(W01, W23, L[:, 2 * h:4 * h, 0:2 * h])
+    if q <= h:
+        L = _chol_small(blk)
+        return L, _subst_invert_loop(L)
+    hh = q // 2
+    L11, W11 = _factor_block_twolevel(blk[:, :hh, :hh], h)
+    L21 = _bmm(blk[:, hh:, :hh], jnp.swapaxes(W11, 1, 2))
+    S = blk[:, hh:, hh:] - _bmm(L21, jnp.swapaxes(L21, 1, 2))
+    L22, W22 = _factor_block_twolevel(S, h)
+    zer = jnp.zeros((bs, hh, q - hh), dt)
+    L = jnp.concatenate([
+        jnp.concatenate([L11, zer], axis=2),
+        jnp.concatenate([L21, L22], axis=2)], axis=1)
+    off = -_bmm(W22, _bmm(L21, W11))
+    W = jnp.concatenate([
+        jnp.concatenate([W11, zer], axis=2),
+        jnp.concatenate([off, W22], axis=2)], axis=1)
     return L, W
 
 

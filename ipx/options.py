@@ -186,20 +186,23 @@ class SolverOptions:
         """The measured-fastest TPU batch configuration (bench.py's config).
 
         Trades the robust defaults for speed on well-scaled dense batches:
-        blocked factor backend + fused A-resident matvecs, one CG refinement
-        per solve, direct (CG-less) feasibility projection.  Validated at
-        the contract shapes (B=256..1024, m=1024, n=2048): convergence
-        probe 4/4 OPTIMAL at rel gap <= 1e-6.  NOT the default because
-        degenerate/badly-scaled instances need the robust settings (e.g.
-        the fuzz battery drops to 29/30 without projection CG).  If A's
-        entries are bf16-representable (or a bf16-rounded instance is
-        acceptable), add ``a_storage="bfloat16"`` — halves A residency and
-        every A stream (bench.py does; its generator rounds A to bf16 so
-        the instances stay exact).  Keyword overrides are applied on top.
+        left-looking blocked factor backend + fused A-resident matvecs, one
+        CG refinement per solve, direct (CG-less) feasibility projection
+        and refinement-sweep solves.  Validated at the contract shapes
+        (B=256..1024, m=1024, n=2048): convergence probe 4/4 OPTIMAL at
+        rel gap <= 1e-6 (refine_solve_cg=0 costs ~2 extra iterations but
+        nets +20% iteration rate AND slightly better solves/s).  NOT the
+        default because degenerate/badly-scaled instances need the robust
+        settings (e.g. the fuzz battery drops to 29/30 without projection
+        CG).  If A's entries are bf16-representable (or a bf16-rounded
+        instance is acceptable), add ``a_storage="bfloat16"`` — halves A
+        residency and every A stream (bench.py does; its generator rounds
+        A to bf16 so the instances stay exact).  Keyword overrides are
+        applied on top.
         """
-        base = dict(dtype="float32", chol_backend="blocked",
+        base = dict(dtype="float32", chol_backend="blocked_left",
                     matvec_backend="fused", refine_steps=1,
-                    proj_cg_iters=0)
+                    proj_cg_iters=0, refine_solve_cg=0)
         base.update(kw)
         return cls(**base)
 

@@ -121,13 +121,28 @@ def test_throughput_preset():
     from ipx.problem.generate import random_feasible_lp
     opts = ipx.SolverOptions.throughput()
     assert opts.a_storage == "float32"   # presets must not perturb user data
-    assert opts.chol_backend == "blocked" and opts.proj_cg_iters == 0
+    assert opts.chol_backend == "blocked_left" and opts.proj_cg_iters == 0
+    assert opts.refine_solve_cg == 0
     assert ipx.SolverOptions.throughput(refine_steps=2).refine_steps == 2
     g = random_feasible_lp(96, 192, seed=7)
     sol = ipx.solve(g.c, g.A, g.b, options=opts)
     assert sol.optimal, sol.status_name
     rel = abs(sol.objective - g.obj_star) / (1 + abs(g.obj_star))
     assert rel <= 2e-6, rel
+
+
+def test_refine_solve_cg_direct_sweeps():
+    """refine_solve_cg=0 (direct preconditioner apply inside KKT refinement
+    sweeps — the bench/throughput config) still reaches the 1e-6 gap."""
+    with pytest.raises(ValueError):
+        ipx.SolverOptions(refine_solve_cg=-2)
+    from ipx.problem.generate import random_feasible_lp
+    g = random_feasible_lp(96, 192, seed=9)
+    sol = ipx.solve(g.c, g.A, g.b,
+                    options=ipx.SolverOptions(dtype="float32",
+                                              refine_solve_cg=0))
+    assert sol.optimal, sol.status_name
+    assert abs(sol.objective - g.obj_star) / (1 + abs(g.obj_star)) <= 2e-6
 
 
 def test_blocked_left_backend_end_to_end():
