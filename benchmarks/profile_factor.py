@@ -141,7 +141,7 @@ def main() -> int:
         D = Ms[:, :128, :128]
         acc = jnp.zeros((B, 128), jnp.float32)
         for _ in range(m // 128):
-            Ld, Wd = pk._factor_block_twolevel(D)
+            Ld, Wd = pk._factor_block_twolevel(D, mosaic=False)
             d = jnp.abs(jnp.diagonal(Ld, axis1=-2, axis2=-1))
             acc = acc + d + jnp.mean(jnp.abs(Wd), axis=(1, 2))[:, None]
             D = D + 1e-6 * d[:, :, None]

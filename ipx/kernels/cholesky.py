@@ -48,7 +48,7 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _subst_invert(T, base: int = 8):
+def _subst_invert(T, base: int = 8, mosaic: bool = True):
     """Batched inv of (K, h, h) lower-triangular blocks, trtri-style.
 
     The sequential-latency killer of the diagonal chain: a direct h-step
@@ -57,14 +57,43 @@ def _subst_invert(T, base: int = 8):
     ONE recursion) down to ``base``, where the substitution loop runs —
     base sequential steps + log2(h/base) matmul combine levels instead of
     h steps.  Same stable combine algebra as normal_eq._invert_lower_blocks.
+
+    ``mosaic=False`` selects the static-slice base formulation that is only
+    legal OUTSIDE Pallas kernels (see :func:`_subst_invert_xla`).
     """
     K, h, _ = T.shape
     if h > base:
         hh = h // 2
         sub = jnp.concatenate([T[:, :hh, :hh], T[:, hh:, hh:]], axis=0)
-        W = _subst_invert(sub, base)
+        W = _subst_invert(sub, base, mosaic)
         return _combine_lower_inv(W[:K], W[K:], T[:, hh:, :hh])
-    return _subst_invert_loop(T)
+    return _subst_invert_loop(T) if mosaic else _subst_invert_xla(T)
+
+
+def _subst_invert_xla(T):
+    """XLA-level base of :func:`_subst_invert`: the same row-wise forward
+    substitution, but with STATIC slices and broadcast reductions instead
+    of iota masks and ones-matmul replication (both exist only because
+    Mosaic forbids value dynamic-slices and (K,1,1) layouts).  The python
+    loop unrolls at trace time into one short chain of VPU ops that XLA
+    fuses into a couple of launches — the diagonal chain at m=1024 is
+    launch-count-bound, not FLOP-bound."""
+    K, h, _ = T.shape
+    dt = T.dtype
+    tiny = jnp.asarray(jnp.finfo(dt).tiny, dt)
+    rows = []                                     # rows[i]: (K, 1, h)
+    for i in range(h):
+        e_row = jnp.zeros((K, 1, h), dt).at[:, :, i].set(1.0)
+        if i:
+            W_above = jnp.concatenate(rows, axis=1)        # (K, i, h)
+            prod = jnp.sum(T[:, i, :i][:, :, None] * W_above,
+                           axis=1, keepdims=True)          # (K, 1, h)
+            r = e_row - prod
+        else:
+            r = e_row
+        dii = jnp.maximum(T[:, i:i + 1, i:i + 1], tiny)    # (K, 1, 1)
+        rows.append(r / dii)
+    return jnp.concatenate(rows, axis=1)
 
 
 def _subst_invert_loop(T):
@@ -138,7 +167,29 @@ def _invert_lower_stable(L):
     return _combine_lower_inv(W01, W23, L[:, 2 * h:4 * h, 0:2 * h])
 
 
-def _factor_block_twolevel(blk, h: int = 8):
+def _chol_small_xla(blk):
+    """XLA-level base Cholesky of (BS, h, h) SPD blocks: the same rank-1
+    column elimination as :func:`_chol_small` but with static slices and a
+    broadcast outer product (no iota masks, no ones-matmul pivot
+    replication — Mosaic-only workarounds).  Unrolls at trace time into a
+    fully fusible VPU chain."""
+    bs, q, _ = blk.shape
+    dt = blk.dtype
+    tiny = jnp.asarray(jnp.finfo(dt).tiny, dt)
+    a = blk
+    cols = []                                      # cols[j]: (BS, q, 1)
+    row_ge = [jnp.arange(q)[None, :, None] >= j for j in range(q)]
+    for j in range(q):
+        inv_piv = jax.lax.rsqrt(
+            jnp.maximum(a[:, j:j + 1, j:j + 1], tiny))     # (BS, 1, 1)
+        col = jnp.where(row_ge[j], a[:, :, j:j + 1] * inv_piv,
+                        jnp.zeros((), dt))                 # (BS, q, 1)
+        a = a - col * jnp.swapaxes(col, 1, 2)
+        cols.append(col)
+    return jnp.concatenate(cols, axis=2)
+
+
+def _factor_block_twolevel(blk, h: int = 8, mosaic: bool = True):
     """Batched Cholesky of (BS, NB, NB) SPD blocks + factor inverse.
 
     Fully recursive divide-and-conquer (the name survives from the original
@@ -160,13 +211,16 @@ def _factor_block_twolevel(blk, h: int = 8):
     bs, q, _ = blk.shape
     dt = blk.dtype
     if q <= h:
-        L = _chol_small(blk)
-        return L, _subst_invert_loop(L)
+        if mosaic:
+            L = _chol_small(blk)
+            return L, _subst_invert_loop(L)
+        L = _chol_small_xla(blk)
+        return L, _subst_invert_xla(L)
     hh = q // 2
-    L11, W11 = _factor_block_twolevel(blk[:, :hh, :hh], h)
+    L11, W11 = _factor_block_twolevel(blk[:, :hh, :hh], h, mosaic)
     L21 = _bmm(blk[:, hh:, :hh], jnp.swapaxes(W11, 1, 2))
     S = blk[:, hh:, hh:] - _bmm(L21, jnp.swapaxes(L21, 1, 2))
-    L22, W22 = _factor_block_twolevel(S, h)
+    L22, W22 = _factor_block_twolevel(S, h, mosaic)
     zer = jnp.zeros((bs, hh, q - hh), dt)
     L = jnp.concatenate([
         jnp.concatenate([L11, zer], axis=2),

@@ -198,7 +198,8 @@ def _blocked_potrf(Ms: jax.Array, nb: int = 128, precision=None,
             # chain to 32-wide sub-steps — measured 16.9 ms for the XLA
             # potrf expander on the same (8B, 128, 128) diagonal work.
             from ipx.kernels import cholesky as pk
-            Ld1, Wd1 = pk._factor_block_twolevel(T[None, :nb, :nb])
+            Ld1, Wd1 = pk._factor_block_twolevel(T[None, :nb, :nb],
+                                                 mosaic=False)
             Ld, Wd = Ld1[0], Wd1[0]
         else:
             Ld = jnp.linalg.cholesky(T[:nb, :nb])
@@ -256,7 +257,8 @@ def _blocked_potrf_left(Ms: jax.Array, nb: int = 128, precision=None):
             C = C - jnp.matmul(Lbelow, Lrow.T, precision=hp)
         if nb == 128:
             from ipx.kernels import cholesky as pk
-            Ld1, Wd1 = pk._factor_block_twolevel(C[None, :nb, :nb])
+            Ld1, Wd1 = pk._factor_block_twolevel(C[None, :nb, :nb],
+                                                 mosaic=False)
             Ld, Wd = Ld1[0], Wd1[0]
         else:
             Ld = jnp.linalg.cholesky(C[:nb, :nb])
