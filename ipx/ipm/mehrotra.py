@@ -399,8 +399,39 @@ def mehrotra_step(lp: LP, state: IPMState, opts: SolverOptions,
     # (Select-based, so it is vmap-safe and costs nothing when healthy.)
     boost_cap = jnp.asarray(opts.reg_boost_cap, dtype)
     exhausted = ~finite & (state.reg_boost >= boost_cap)
+    # Escalate on a non-finite step; DECAY back toward 1 on success — a
+    # permanently boosted reg caps the reachable accuracy (the direction
+    # error ~ reg/(lam+reg) stalls small-curvature coordinates; see
+    # options.reg_boost_decay).
+    # Adaptive decay floor: every failure raises the floor to 10x the boost
+    # that just FAILED, so the decay never revisits a level the problem has
+    # already broken at.  Measured at m=4096 (config 4): a fixed floor
+    # either caps accuracy (sticky boost -> crawl at rel_gap ~7e-3) or
+    # thrashes (floor 10 when the problem needs 100 -> a wasted non-finite
+    # iteration every 4th step); the adaptive floor converges to the
+    # working level in log_10 steps and decays the 1000x panic right back.
+    # Decay applies only to the SHARDED (config-4 scale) route.  There a
+    # non-finite step is a transient f32 artifact of the m>=4k assembly and
+    # a permanently boosted Tikhonov reg poisons direction quality (error ~
+    # reg/(lam+reg) on small-curvature coordinates): measured at m=4096 the
+    # sticky boost left the solve crawling at rel_gap ~5e-4, decay reaches
+    # ~3e-5.  On the DENSE route the opposite holds: for degenerate
+    # instances the boost acts as a needed PROXIMAL term — with decay the
+    # fuzz case (50, 55, degenerate, spread 1.5) stalls at 5e-3, with the
+    # sticky boost the dense route itself converges OPTIMAL in 20
+    # iterations.  The augmented routes handle regularization inside the
+    # quasi-definite system, so sticky is free there too.  Static
+    # (trace-time) selection.
+    decay = (opts.reg_boost_decay if opts.linsys == "sharded" else 1.0)
+    reg_floor = jnp.where(
+        finite, state.reg_floor,
+        jnp.minimum(jnp.maximum(state.reg_floor,
+                                state.reg_boost * jnp.asarray(10.0, dtype)),
+                    boost_cap))
     reg_boost = jnp.where(
-        finite, state.reg_boost,
+        finite,
+        jnp.maximum(reg_floor,
+                    state.reg_boost * jnp.asarray(decay, dtype)),
         jnp.minimum(state.reg_boost * jnp.asarray(opts.reg_boost_step, dtype),
                     boost_cap))
     # Divergence-based infeasibility certificates (heuristic, the standard
@@ -462,7 +493,7 @@ def mehrotra_step(lp: LP, state: IPMState, opts: SolverOptions,
         rd_rel=jnp.where(keep, rd_rel, state.rd_rel),
         rel_gap=jnp.where(keep, rel_gap, state.rel_gap),
         best_x=best_x, best_y=best_y, best_s=best_s, best_merit=best_merit,
-        reg_boost=reg_boost,
+        reg_boost=reg_boost, reg_floor=reg_floor,
         trace=trace,
     )
 

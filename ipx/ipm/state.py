@@ -37,6 +37,10 @@ class IPMState:
     best_merit: jax.Array   # () max(rel_gap, rp_rel, rd_rel) at best iterate
     reg_boost: jax.Array    # () regularization escalation factor (>= 1);
                             # raised after a non-finite step, see mehrotra.py
+    reg_floor: jax.Array    # () decay floor for reg_boost: 10x the highest
+                            # boost that ever FAILED (1 if never failed) —
+                            # boosts decay back down after success but not
+                            # below the level this problem has shown it needs
     trace: jax.Array        # (max_iter, TRACE_COLS)
 
 
@@ -51,5 +55,6 @@ def init_state(x, y, s, mu0, max_iter: int) -> IPMState:
         rp_rel=inf, rd_rel=inf, rel_gap=inf,
         best_x=x, best_y=y, best_s=s, best_merit=inf,
         reg_boost=jnp.ones((), dtype),
+        reg_floor=jnp.ones((), dtype),
         trace=jnp.zeros((max_iter, TRACE_COLS), dtype),
     )

@@ -35,7 +35,7 @@ from ipx.ipm.state import IPMState, TRACE_COLS
 
 _STATE_FIELDS = ("x", "y", "s", "it", "status", "mu", "mu0", "rp_rel",
                  "rd_rel", "rel_gap", "best_x", "best_y", "best_s",
-                 "best_merit", "reg_boost", "trace")
+                 "best_merit", "reg_boost", "reg_floor", "trace")
 
 
 def save_state(path: str, state: IPMState) -> None:
@@ -47,7 +47,10 @@ def save_state(path: str, state: IPMState) -> None:
 def load_state(path: str) -> IPMState:
     """Load a snapshot back into an IPMState pytree (device arrays)."""
     with np.load(path) as z:
-        kw = {f: jnp.asarray(z[f]) for f in _STATE_FIELDS}
+        kw = {f: jnp.asarray(z[f]) for f in _STATE_FIELDS if f in z.files}
+    # snapshots written before the adaptive decay floor existed: never-failed
+    if "reg_floor" not in kw:
+        kw["reg_floor"] = jnp.ones_like(kw["reg_boost"])
     return IPMState(**kw)
 
 

@@ -75,6 +75,16 @@ class SolverOptions:
     # before retrying — f32 endgame recovery (see mehrotra.py).
     reg_boost_step: float = 1e3
     reg_boost_cap: float = 1e9
+    # SHARDED route only: after a FINITE step the boost decays back down
+    # (multiplicative, floored at 10x the highest boost that ever failed),
+    # so a transient f32 PSD loss at m>=4k costs a few regularized
+    # iterations instead of permanently capping accuracy (measured m=4096:
+    # sticky crawls at rel_gap ~5e-4, decay reaches ~3e-5).  The dense and
+    # augmented routes keep the boost STICKY — for degenerate instances it
+    # acts as a needed proximal term (measured: the fuzz battery's hardest
+    # case converges OPTIMAL sticky, stalls at 5e-3 with decay).  1.0
+    # disables decay.
+    reg_boost_decay: float = 0.1
     # Iterate-divergence threshold for the heuristic Farkas certificates
     # (PRIMAL_INFEASIBLE / DUAL_INFEASIBLE statuses).
     infeas_diverge_thresh: float = 1e7
