@@ -113,6 +113,22 @@ def main() -> int:
             return jnp.diagonal(out, axis1=-2, axis2=-1)
         return run, (D0,)
 
+    def trsmsyrk_prec_fn(prec):
+        def f(Ms):
+            W0 = jnp.eye(128, dtype=jnp.float32) * 0.5
+            T = Ms
+            diags = []
+            for o in range(0, m, 128):
+                if m - o - 128 > 0:
+                    P = jnp.matmul(T[:, 128:, :128], W0.T, precision=prec)
+                    T = T[:, 128:, 128:] - jnp.matmul(
+                        P, jnp.swapaxes(P, 1, 2), precision=prec)
+                    diags.append(P[:, 0, :])
+                else:
+                    diags.append(T[:, 0, :128])
+            return jnp.abs(jnp.concatenate(diags, axis=1)[:, :m])
+        return f
+
     def trsmsyrk_fn(Ms):
         # The blocked factor's MATMUL chain in isolation: per panel one
         # (B, m-o, 128) @ (B, 128, 128) "TRSM-as-matmul" against a FIXED
@@ -156,6 +172,9 @@ def main() -> int:
         "trtri128": lambda: chained_small(lambda D: jnp.mean(jnp.abs(
             normal_eq._invert_lower_blocks(jnp.tril(D) + 4.0 * jnp.eye(
                 128, dtype=jnp.float32))), axis=(1, 2))[:, None]),
+        "trsmsyrk_high": lambda: chained_full(trsmsyrk_prec_fn(HI)),
+        "trsmsyrk_default": lambda: chained_full(
+            trsmsyrk_prec_fn(jax.lax.Precision.DEFAULT)),
         "blocked": lambda: chained_full(blocked_fn(128, HP)),
         "blocked_left": lambda: chained_full(blocked_left_fn),
         "blocked_xladiag": lambda: chained_full(blocked_fn(128, HP, "xla")),

@@ -54,6 +54,26 @@ class NormalEqFactor:
                         # HIGHEST precision, so final accuracy is unaffected)
 
 
+def _mm_split3_vs_bf16(W: jax.Array, Abf_t: jax.Array):
+    """f32 matrix x EXACTLY-bf16 matrix as THREE single-pass bf16 MXU
+    matmuls: W = h1 + h2 + h3 + err with each h_i the bf16 rounding of the
+    running residual (|err| <= 2^-24 |W|), and bf16 x bf16 products
+    accumulate exactly in f32 — so the sum IS the f32 product to f32
+    accuracy.  Same decomposition as the stripe kernels' _split3_dot
+    (ipx/kernels/fused.py, measured both faster AND slightly more accurate
+    than precision=HIGHEST on a bf16-representable operand: HIGHEST
+    re-splits BOTH operands into 6 passes).
+    """
+    out = None
+    for _ in range(3):
+        h = W.astype(jnp.bfloat16)
+        W = W - h.astype(jnp.float32)
+        p = jax.lax.dot_general(h, Abf_t, (((W.ndim - 1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        out = p if out is None else out + p
+    return out
+
+
 def assemble(A: jax.Array, d2: jax.Array, precision: str = "highest"):
     """M = (A * d2) @ A.T, exploiting symmetry.
 
@@ -64,22 +84,40 @@ def assemble(A: jax.Array, d2: jax.Array, precision: str = "highest"):
     saves ~44% of the matmul passes at m=1024 (measured: the assembly was
     ~12% of the batched iteration).  Every product is a plain XLA matmul on
     (>=128)-sized blocks, so vmap/sharding compose unchanged.
+
+    When A is STORED bf16 (``a_storage="bfloat16"``: entries exactly
+    bf16-representable) and f32-faithful assembly is requested, each block
+    product runs as a 3-pass split of the f32 ``rows * d2`` operand against
+    the bf16 rows directly (:func:`_mm_split3_vs_bf16`) — half the MXU
+    passes of HIGHEST at the same accuracy.  This is NOT the round-1
+    failed "bf16 3-pass assembly" (that ROUNDED the A*d2 operand to one
+    bf16 term, a 0.4% error that drowned endgame directions); the split
+    keeps all f32 bits.
     """
     m = A.shape[0]
+    split3 = A.dtype == jnp.bfloat16 and precision == "highest"
+
+    def blk_mm(rows_a, rows_b):
+        # rows_a, rows_b: row blocks of A (storage dtype)
+        W = rows_a.astype(jnp.float32) * d2[None, :]
+        if split3:
+            return _mm_split3_vs_bf16(W, rows_b.T)
+        return mm(W, rows_b.astype(jnp.float32).T, precision)
+
     if m < 256:
-        M = mm(A * d2[None, :], A.T, precision)
+        M = blk_mm(A, A)
         return 0.5 * (M + M.T)
 
     def sym(rows):
         r = rows.shape[0]
         if r <= 128:
-            Mr = mm(rows * d2[None, :], rows.T, precision)
+            Mr = blk_mm(rows, rows)
             return 0.5 * (Mr + Mr.T)
         h = r // 2
         top, bot = rows[:h], rows[h:]
         C11 = sym(top)
         C22 = sym(bot)
-        C21 = mm(bot * d2[None, :], top.T, precision)
+        C21 = blk_mm(bot, top)
         return jnp.block([[C11, C21.T], [C21, C22]])
 
     return sym(A)
