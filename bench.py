@@ -70,6 +70,10 @@ def main() -> int:
                         "2054 vs 1713 inst-iters/s at B=256 (probe 4/4 "
                         "<=9.8e-7; median iters 13 vs 11, but est solves/s "
                         "also improved 158 vs 156).  Library default -1.")
+    p.add_argument("--refines", type=int, default=2,
+                   help="KKT refinement sweeps for BOTH predictor and "
+                        "corrector (A/B knob; the split3-assembly "
+                        "preconditioner may carry fewer sweeps)")
     p.add_argument("--a-storage", choices=["float32", "bfloat16"],
                    default="bfloat16",
                    help="store the batch's A tensors bf16 (halves HBM "
@@ -125,6 +129,9 @@ def main() -> int:
     opt_kw = {}
     if args.proj_cg_iters is not None:
         opt_kw["proj_cg_iters"] = args.proj_cg_iters
+    if args.refines != 2:
+        opt_kw["kkt_refine_steps"] = args.refines
+        opt_kw["predictor_refine_steps"] = args.refines
     opts = ipx.SolverOptions(dtype="float32", max_iter=args.iters + 1,
                              chol_backend=args.chol_backend, refine_steps=1,
                              matvec_backend="fused",

@@ -561,47 +561,52 @@ def _solve_pair_kernel(l_hbm, lt_hbm, w_hbm, b_hbm, x_hbm, S, Wb, bv, yv, xv,
         b0 = c * BC
         ld_b = pltpu.make_async_copy(b_hbm.at[b0:b0 + BC], bv, sems.at[2])
         ld_b.start()
-        # zero-init: the masked stripe dots contract over the FULL vector,
-        # and 0 * uninitialized-NaN = NaN.  S is zeroed too: each step DMAs
-        # only the TRIANGULAR part of its stripe (the live columns grow
-        # monotonically within a sweep, so the tail beyond the current
-        # width is always these zeros) — halves the L stream traffic.
+        # zero-init the solution vectors: the masked stripe dots contract
+        # over the FULL vector and 0 * uninitialized-NaN = NaN.  S needs no
+        # init — every dot masks it to exactly the columns its step loaded.
         yv[:] = jnp.zeros((BC, m), jnp.float32)
         xv[:] = jnp.zeros((BC, m), jnp.float32)
-        S[:] = jnp.zeros_like(S)
         ld_b.wait()
-        # forward: L y = b  (stripe k needs columns [0, o+NB) only)
+        # forward: L y = b.  Stripe k needs the STRICT prefix [0, o): the
+        # diagonal block is never read (the solve goes through W = inv(L_kk)),
+        # so loading [0, o + NB) as before moved ~22% more bytes than used.
         for k in range(nblk):
             o = k * NB
-            ld_s = pltpu.make_async_copy(
-                l_hbm.at[b0:b0 + BC, o:o + NB, :o + NB],
-                S.at[:, :, :o + NB], sems.at[0])
             ld_w = pltpu.make_async_copy(
                 w_hbm.at[b0:b0 + BC, k], Wb, sems.at[1])
-            ld_s.start()
             ld_w.start()
-            ld_s.wait()
+            if o:
+                ld_s = pltpu.make_async_copy(
+                    l_hbm.at[b0:b0 + BC, o:o + NB, :o],
+                    S.at[:, :, :o], sems.at[0])
+                ld_s.start()
+                ld_s.wait()
             ld_w.wait()
-            masked = jnp.where(cols_r < o, S[:], 0.0)     # (BC, NB, m)
-            r = bv[:, o:o + NB] - _bmv2(masked, yv[:])
+            if o:
+                masked = jnp.where(cols_r < o, S[:], 0.0)     # (BC, NB, m)
+                r = bv[:, o:o + NB] - _bmv2(masked, yv[:])
+            else:
+                r = bv[:, :NB]
             yv[:, o:o + NB] = _bmv2(Wb[:], r)
-        # backward: L^T x = y, via row stripes of the pre-transposed factor
-        # (stripe k needs columns [o, m) only; live region grows rightward
-        # as k decreases, so [0, o) is zeros from the re-init below)
-        S[:] = jnp.zeros_like(S)
+        # backward: L^T x = y, via row stripes of the pre-transposed factor;
+        # stripe k needs the strict suffix [o + NB, m) only (same W trick).
         for k in range(nblk - 1, -1, -1):
             o = k * NB
-            ld_s = pltpu.make_async_copy(
-                lt_hbm.at[b0:b0 + BC, o:o + NB, o:],
-                S.at[:, :, o:], sems.at[0])
             ld_w = pltpu.make_async_copy(
                 w_hbm.at[b0:b0 + BC, k], Wb, sems.at[1])
-            ld_s.start()
             ld_w.start()
-            ld_s.wait()
+            if o + NB < m:
+                ld_s = pltpu.make_async_copy(
+                    lt_hbm.at[b0:b0 + BC, o:o + NB, o + NB:],
+                    S.at[:, :, o + NB:], sems.at[0])
+                ld_s.start()
+                ld_s.wait()
             ld_w.wait()
-            masked = jnp.where(cols_r >= o + NB, S[:], 0.0)   # (BC, NB, m)
-            r = yv[:, o:o + NB] - _bmv2(masked, xv[:])
+            if o + NB < m:
+                masked = jnp.where(cols_r >= o + NB, S[:], 0.0)
+                r = yv[:, o:o + NB] - _bmv2(masked, xv[:])
+            else:
+                r = yv[:, o:o + NB]
             WbT = jnp.swapaxes(Wb[:], 1, 2)
             xv[:, o:o + NB] = _bmv2(WbT, r)                # W^T r
         st_x = pltpu.make_async_copy(xv, x_hbm.at[b0:b0 + BC], sems.at[2])

@@ -283,16 +283,21 @@ def _blocked_potrf_left(Ms: jax.Array, nb: int = 128, precision=None):
     m = Ms.shape[-1]
     hp = precision if precision is not None else jax.lax.Precision.HIGHEST
     dt = Ms.dtype
-    cols = []
+    # ONE carried (m, m) buffer updated in place (dynamic_update_slice with
+    # static offsets) instead of per-panel column concatenations: the
+    # measured cost of this factor at m=1024 is NOT MXU passes (DEFAULT
+    # 1-pass timed the same as HIGHEST 6-pass) but XLA materialization
+    # traffic.  A/B'd at B=256: concat history 34.3 ms, per-column small
+    # matmuls 34.5 ms, carried buffer 31.0 ms — XLA elides enough of the
+    # update copies to win; slices of the carried buffer feed the matmuls.
+    L = jnp.zeros((m, m), dt)
     winvs = []
     for o in range(0, m, nb):
         C = Ms[o:, o:o + nb]
         if o:
-            Lbelow = jnp.concatenate(
-                [col[o:] for col in cols], axis=1)           # (m-o, o)
-            Lrow = jnp.concatenate(
-                [col[o:o + nb] for col in cols], axis=1)     # (nb, o)
-            C = C - jnp.matmul(Lbelow, Lrow.T, precision=hp)
+            # accumulation against the already-written columns: rows below
+            # the diagonal block of L are exactly L[o:, :o]
+            C = C - jnp.matmul(L[o:, :o], L[o:o + nb, :o].T, precision=hp)
         if nb == 128:
             from ipx.kernels import cholesky as pk
             Ld1, Wd1 = pk._factor_block_twolevel(C[None, :nb, :nb],
@@ -307,10 +312,7 @@ def _blocked_potrf_left(Ms: jax.Array, nb: int = 128, precision=None):
             col = jnp.concatenate([Ld, P], axis=0)
         else:
             col = Ld
-        if o:
-            col = jnp.concatenate([jnp.zeros((o, nb), dt), col], axis=0)
-        cols.append(col)
-    L = jnp.concatenate(cols, axis=1)
+        L = jax.lax.dynamic_update_slice(L, col, (o, o))
     if nb == 128:
         W = jnp.stack(winvs)
     else:
