@@ -114,6 +114,11 @@ def main() -> int:
         return jax.vmap(lambda a, d: normal_eq.factor(a, d, opts))(blp.A, d2)
 
     fac0 = jax.block_until_ready(factor_fn(blp, d2_0, opts))
+    # pallas-family factors carry only the transposed layout LT; derive
+    # both orientations once here so every stage gets its native operand
+    has_lt = fac0.LT.ndim >= 2
+    L0 = jnp.swapaxes(fac0.LT, -1, -2) if has_lt else fac0.L
+    LT0 = fac0.LT if has_lt else jnp.swapaxes(fac0.L, -1, -2)
 
     # --- stage definitions: (k) -> (jitted fn, operand tuple, sync) --------
     # Every stage fn takes (k static, *operands) — operands donated nothing,
@@ -133,7 +138,8 @@ def main() -> int:
             # consume L, W AND j: folding only diag(L) back lets XLA
             # dead-code-eliminate the entire W inversion (measured: "factor"
             # came out ~= assemble + potrf alone)
-            used = (jnp.abs(jnp.diagonal(fac.L, axis1=-2, axis2=-1)[:, :1])
+            Ld = fac.LT if fac.LT.ndim >= 2 else fac.L
+            used = (jnp.abs(jnp.diagonal(Ld, axis1=-2, axis2=-1)[:, :1])
                     + jnp.abs(fac.j[:, :1]))
             if fac.W.ndim >= 3:
                 used = used + jnp.mean(jnp.abs(fac.W), axis=(1, 2, 3))[:, None]
@@ -150,12 +156,13 @@ def main() -> int:
         return jax.lax.fori_loop(0, k, body, d2)
 
     @functools.partial(jax.jit, static_argnums=(0,))
-    def run_precond(k, L, W, r):
+    def run_precond(k, L, LT, W, r):
         from ipx.kernels import cholesky as pk
 
         def body(_, r):
-            if opts.chol_backend in ("pallas", "hybrid", "blocked"):
-                y = pk.chol_solve_batched(L, W, r)
+            if opts.chol_backend in ("pallas", "hybrid", "blocked",
+                                     "blocked_left"):
+                y = pk.chol_solve_batched_lt(LT, W, r)
             else:
                 y = jax.vmap(lambda Lk, b: jax.scipy.linalg.cho_solve(
                     (Lk, True), b))(L, r)
@@ -182,7 +189,7 @@ def main() -> int:
 
     # --- factor sub-stages (potrf / W inversion / scale+reg) ---------------
     Ms0 = jax.block_until_ready(jax.jit(lambda L: jnp.matmul(
-        jnp.tril(L), jnp.swapaxes(jnp.tril(L), 1, 2)))(fac0.L))
+        jnp.tril(L), jnp.swapaxes(jnp.tril(L), 1, 2)))(L0))
 
     # NOTE on carries: every stage fn RETURNS only small arrays (vectors /
     # scalars).  Returning the (B, m, m) carry makes the sync fetch 512MB
@@ -242,17 +249,17 @@ def main() -> int:
 
     # --- solve sub-stages: where do the ~3ms beyond (2 precond + 2 ata) go?
     @functools.partial(jax.jit, static_argnums=(0,))
-    def run_cgchain(k, L, W, A, d2, r):
+    def run_cgchain(k, LT, W, A, d2, r):
         """precond -> ata -> precond -> ata serial chain, NO CG vdots —
         the pure stage-latency floor of one refine_steps=1 solve."""
         from ipx.kernels import cholesky as pk
         from ipx.kernels import fused as fk
 
         def body(_, r):
-            y = pk.chol_solve_batched(L, W, r)
+            y = pk.chol_solve_batched_lt(LT, W, r)
             t, _ = jax.vmap(lambda a, vv, d: fk.ata_apply(a, vv, d, None))(
                 A, y, d2)
-            z = pk.chol_solve_batched(L, W, r - t)
+            z = pk.chol_solve_batched_lt(LT, W, r - t)
             t2, _ = jax.vmap(lambda a, vv, d: fk.ata_apply(a, vv, d, None))(
                 A, z, d2)
             return r + one * (y + t2)
@@ -279,15 +286,15 @@ def main() -> int:
         "step": (run_step, (blp, st0, fac_aat), sync_state),
         "factor": (run_factor, (blp, d2_0), sync_arr),
         "assemble": (run_assemble, (blp, d2_0), sync_arr),
-        "precond": (run_precond, (fac0.L, fac0.W, rhs_0), sync_arr),
+        "precond": (run_precond, (L0, LT0, fac0.W, rhs_0), sync_arr),
         "ata": (run_ata, (blp.A, fac0.d2, rhs_0), sync_arr),
         "solve": (run_solve, (fac0, blp.A, rhs_0), sync_arr),
         "potrf": (run_potrf, (Ms0,), sync_arr),
-        "winv": (run_winv, (fac0.L,), sync_arr),
+        "winv": (run_winv, (L0,), sync_arr),
         "blocked_factor": (run_blocked_factor, (Ms0,), sync_arr),
         "pallas_factor": (run_pallas_factor, (Ms0,), sync_arr),
         "cgchain": (run_cgchain,
-                    (fac0.L, fac0.W, blp.A, fac0.d2, rhs_0), sync_arr),
+                    (LT0, fac0.W, blp.A, fac0.d2, rhs_0), sync_arr),
         "precond_vmapped": (run_precond_vmapped, (fac0, rhs_0), sync_arr),
     }
     subset = [s for s in args.stages.split(",") if s]

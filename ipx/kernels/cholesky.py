@@ -543,53 +543,63 @@ def _bmv2(a, v):
                                precision=_HP)
 
 
-def _solve_pair_kernel(l_hbm, lt_hbm, w_hbm, b_hbm, x_hbm, S, Wb, bv, yv, xv,
-                       sems, *, m: int, B: int, BC: int):
-    """Fused L y = b; L^T x = y for ALL instances — batched block steps.
+def _solve_pair_lt_kernel(lt_hbm, w_hbm, b_hbm, x_hbm, S, Wb, rv, xv,
+                          sems, *, m: int, B: int, BC: int):
+    """Fused L y = b; L^T x = y reading ONLY the transposed factor LT.
 
-    Per sub-chunk of BC instances: the rhs and both solution vectors live in
-    VMEM; each of the 2*nblk block steps DMAs one fixed-width (BC, NB, m)
-    stripe (rows of L forward, rows of L^T backward — Mosaic's batched-dot
-    rule requires contracting on the LAST dim, hence the pre-transposed
-    lt_hbm operand) and applies a BATCHED MXU dot across the chunk — the
-    per-instance serial kernel this replaces underused the VPU/MXU by BCx.
-    Triangular structure comes from iota masks on the full-width stripes.
+    Both sweeps consume the SAME strict-suffix row stripes
+    ``LT[o:o+NB, o+NB:]``: the forward solve is RIGHT-LOOKING — after
+    y_k = W_k r_k the residual suffix is updated through the stripe,
+    ``r[o+NB:] -= stripe^T y_k`` (a batched row-vector matmul) — and
+    the backward solve is the usual left-looking substitution with
+    last-dim contraction.  One stored layout means the factor writes half
+    the bytes and no (B, m, m) transpose is ever materialized (the L+LT
+    predecessor of this kernel transposed L inside every call).
+
+    Per sub-chunk of BC instances the rhs/solution vectors live in VMEM;
+    each block step DMAs one fixed-width (BC, NB, m) stripe and applies
+    BATCHED MXU dots across the chunk.  Triangular structure comes from
+    iota masks on the full-width stripes (stale prefix columns from the
+    previous, longer suffix loads are masked to zero).
     """
     nblk = m // NB
     cols_r = jax.lax.broadcasted_iota(jnp.int32, (1, 1, m), 2)
     for c in range(B // BC):
         b0 = c * BC
-        ld_b = pltpu.make_async_copy(b_hbm.at[b0:b0 + BC], bv, sems.at[2])
+        ld_b = pltpu.make_async_copy(b_hbm.at[b0:b0 + BC], rv, sems.at[2])
         ld_b.start()
-        # zero-init the solution vectors: the masked stripe dots contract
-        # over the FULL vector and 0 * uninitialized-NaN = NaN.  S needs no
-        # init — every dot masks it to exactly the columns its step loaded.
-        yv[:] = jnp.zeros((BC, m), jnp.float32)
-        xv[:] = jnp.zeros((BC, m), jnp.float32)
         ld_b.wait()
-        # forward: L y = b.  Stripe k needs the STRICT prefix [0, o): the
-        # diagonal block is never read (the solve goes through W = inv(L_kk)),
-        # so loading [0, o + NB) as before moved ~22% more bytes than used.
+        # forward: right-looking L y = b — rv morphs r -> y block by block
         for k in range(nblk):
             o = k * NB
             ld_w = pltpu.make_async_copy(
                 w_hbm.at[b0:b0 + BC, k], Wb, sems.at[1])
             ld_w.start()
-            if o:
+            if o + NB < m:
+                # stripe DMA overlaps the W wait + the y_k dot below
                 ld_s = pltpu.make_async_copy(
-                    l_hbm.at[b0:b0 + BC, o:o + NB, :o],
-                    S.at[:, :, :o], sems.at[0])
+                    lt_hbm.at[b0:b0 + BC, o:o + NB, o + NB:],
+                    S.at[:, :, o + NB:], sems.at[0])
                 ld_s.start()
-                ld_s.wait()
             ld_w.wait()
-            if o:
-                masked = jnp.where(cols_r < o, S[:], 0.0)     # (BC, NB, m)
-                r = bv[:, o:o + NB] - _bmv2(masked, yv[:])
-            else:
-                r = bv[:, :NB]
-            yv[:, o:o + NB] = _bmv2(Wb[:], r)
-        # backward: L^T x = y, via row stripes of the pre-transposed factor;
-        # stripe k needs the strict suffix [o + NB, m) only (same W trick).
+            yk = _bmv2(Wb[:], rv[:, o:o + NB])               # (BC, NB)
+            rv[:, o:o + NB] = yk
+            if o + NB < m:
+                ld_s.wait()
+                masked = jnp.where(cols_r >= o + NB, S[:], 0.0)
+                # upd = stripe^T y_k as a batched row-vector @ matrix
+                # matmul: Mosaic rejects the direct dim-1 contraction
+                # with a vector rhs (benchmarks/probe_dim1_dot.py form A)
+                # but accepts this shape (form B, verified on real TPU)
+                upd = jax.lax.dot_general(
+                    yk[:, None, :], masked, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                    precision=_HP)[:, 0, :]
+                # prefix entries of upd are masked-zero: subtracting over
+                # the full width leaves the already-final y blocks intact
+                rv[:] = rv[:] - upd
+        # backward: L^T x = y via the same strict-suffix stripes
+        xv[:] = jnp.zeros((BC, m), jnp.float32)
         for k in range(nblk - 1, -1, -1):
             o = k * NB
             ld_w = pltpu.make_async_copy(
@@ -604,9 +614,9 @@ def _solve_pair_kernel(l_hbm, lt_hbm, w_hbm, b_hbm, x_hbm, S, Wb, bv, yv, xv,
             ld_w.wait()
             if o + NB < m:
                 masked = jnp.where(cols_r >= o + NB, S[:], 0.0)
-                r = yv[:, o:o + NB] - _bmv2(masked, xv[:])
+                r = rv[:, o:o + NB] - _bmv2(masked, xv[:])
             else:
-                r = yv[:, o:o + NB]
+                r = rv[:, o:o + NB]
             WbT = jnp.swapaxes(Wb[:], 1, 2)
             xv[:, o:o + NB] = _bmv2(WbT, r)                # W^T r
         st_x = pltpu.make_async_copy(xv, x_hbm.at[b0:b0 + BC], sems.at[2])
@@ -625,51 +635,58 @@ def _solve_chunk(B: int, m: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _chol_solve_pair_impl(L, W, b, interpret: bool | None = None):
+def _chol_solve_pair_lt_impl(LT, W, b, interpret: bool | None = None):
     if interpret is None:
         interpret = _interpret()
-    B, m, _ = L.shape
+    B, m, _ = LT.shape
     BC = _solve_chunk(B, m)
-    LT = jnp.swapaxes(L, 1, 2)
-    kernel = functools.partial(_solve_pair_kernel, m=m, B=B, BC=BC)
+    kernel = functools.partial(_solve_pair_lt_kernel, m=m, B=B, BC=BC)
     return pl.pallas_call(
         kernel,
         grid=(1,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((B, m), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((BC, NB, m), jnp.float32),    # S: stripe (both sweeps)
             pltpu.VMEM((BC, NB, NB), jnp.float32),   # Wb: diag-block inverses
-            pltpu.VMEM((BC, m), jnp.float32),        # bv: rhs
-            pltpu.VMEM((BC, m), jnp.float32),        # yv: forward result
+            pltpu.VMEM((BC, m), jnp.float32),        # rv: rhs -> forward y
             pltpu.VMEM((BC, m), jnp.float32),        # xv: final result
             pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,
-    )(L, LT, W, b.astype(jnp.float32))
+    )(LT, W, b.astype(jnp.float32))
 
 
 @jax.custom_batching.custom_vmap
-def chol_solve_batched(L, W, b):
-    """Solve (L L^T) x = b given the batched factor — fused fwd+bwd kernel.
+def chol_solve_batched_lt(LT, W, b):
+    """Solve (L L^T) x = b given the TRANSPOSED batched factor LT = L^T.
 
-    vmap collapses into the kernel batch axis (custom_vmap), so batched
-    solvers get grid-level batching instead of a pallas vmap dimension."""
-    return _chol_solve_pair_impl(L, W, b)
+    The production entry point: the factor layer stores only LT (see
+    normal_eq.factor), so no transpose is ever materialized.  vmap
+    collapses into the kernel batch axis (custom_vmap), so batched solvers
+    get grid-level batching instead of a pallas vmap dimension."""
+    return _chol_solve_pair_lt_impl(LT, W, b)
 
 
-@chol_solve_batched.def_vmap
-def _chol_solve_batched_vmap(axis_size, in_batched, L, W, b):
-    ops = [L, W, b]
+@chol_solve_batched_lt.def_vmap
+def _chol_solve_batched_lt_vmap(axis_size, in_batched, LT, W, b):
+    ops = [LT, W, b]
     ops = [o if bt else jnp.broadcast_to(o[None], (axis_size, *o.shape))
            for o, bt in zip(ops, in_batched)]
-    L, W, b = ops
-    V, B = L.shape[0], L.shape[1]
-    x = chol_solve_batched(L.reshape(V * B, *L.shape[2:]),
-                           W.reshape(V * B, *W.shape[2:]),
-                           b.reshape(V * B, *b.shape[2:]))
+    LT, W, b = ops
+    V, B = LT.shape[0], LT.shape[1]
+    x = chol_solve_batched_lt(LT.reshape(V * B, *LT.shape[2:]),
+                              W.reshape(V * B, *W.shape[2:]),
+                              b.reshape(V * B, *b.shape[2:]))
     return x.reshape(V, B, *x.shape[1:]), True
+
+
+def chol_solve_batched(L, W, b):
+    """Solve (L L^T) x = b from the UNtransposed factor (compatibility
+    wrapper: transposes L once, then runs the LT kernel).  Production
+    callers hold LT already and use :func:`chol_solve_batched_lt`."""
+    return chol_solve_batched_lt(jnp.swapaxes(L, -1, -2), W, b)
 
 
 # --- single-instance conveniences (used by normal_eq under vmap) -----------

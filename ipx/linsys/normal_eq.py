@@ -41,11 +41,18 @@ class NormalEqFactor:
     the XLA backend ``W`` is an empty placeholder and solves go through
     ``jax.scipy.linalg.solve_triangular``.
     """
-    L: jax.Array        # (m or m_pad, same) lower-triangular Cholesky factor
+    L: jax.Array        # xla backend: (m, m) lower-triangular Cholesky
+                        # factor (empty placeholder for pallas-family
+                        # backends, which carry LT instead)
     j: jax.Array        # (m,) Jacobi scale 1/sqrt(diag M)
     d2: jax.Array       # (n,)
     ok: jax.Array       # () bool: factorization succeeded (finite, pos diag)
     W: jax.Array        # pallas: (m_pad/128, 128, 128) diag-block inverses
+    LT: jax.Array       # pallas-family: (m_pad, m_pad) TRANSPOSED factor
+                        # L^T — the one stored layout; both sweeps of the
+                        # fused pair-solve kernel read its strict-suffix
+                        # row stripes (ipx/kernels/cholesky.py), so no
+                        # (B, m, m) transpose is ever materialized
     M: jax.Array        # (m, m) assembled (unscaled, unregularized) matrix —
                         # the CG operator when opts.cg_operator="assembled":
                         # one m^2 stream per matvec instead of two m*n A
@@ -168,28 +175,34 @@ def factor(A: jax.Array, d2: jax.Array, opts: SolverOptions,
             Mp = Mp.at[jnp.arange(m, m_pad), jnp.arange(m, m_pad)].set(1.0)
         else:
             Mp = Ms
-        if opts.chol_backend == "pallas":
-            L, W = pk.cholesky_batched(Mp[None].astype(jnp.float32))
-            L, W = L[0], W[0]
-        elif opts.chol_backend == "blocked":
-            L, W = _blocked_potrf(Mp.astype(jnp.float32), pk.NB)
-        elif opts.chol_backend == "blocked_left":
-            L, W = _blocked_potrf_left(Mp.astype(jnp.float32), pk.NB)
+        if opts.chol_backend == "blocked_left":
+            # the production factor: emits the transposed layout directly
+            LT, W = _blocked_potrf_left(Mp.astype(jnp.float32), pk.NB)
         else:
-            # hybrid: XLA's potrf for the factor; diag-block inverses via
-            # the recursive trtri-style combine below (same scheme the
-            # Pallas kernel uses in-kernel) — batched MXU matmuls, ~6x
-            # cheaper than a vmapped triangular solve against the identity.
-            L = jnp.linalg.cholesky(Mp.astype(jnp.float32))
-            nblk = m_pad // pk.NB
-            blocks = jnp.stack([L[k * pk.NB:(k + 1) * pk.NB,
-                                  k * pk.NB:(k + 1) * pk.NB]
-                                for k in range(nblk)])
-            W = _invert_lower_blocks(blocks)
-        ldiag = jnp.diagonal(L)
+            if opts.chol_backend == "pallas":
+                Lp, W = pk.cholesky_batched(Mp[None].astype(jnp.float32))
+                Lp, W = Lp[0], W[0]
+            elif opts.chol_backend == "blocked":
+                Lp, W = _blocked_potrf(Mp.astype(jnp.float32), pk.NB)
+            else:
+                # hybrid: XLA's potrf for the factor; diag-block inverses
+                # via the recursive trtri-style combine below (same scheme
+                # the Pallas kernel uses in-kernel) — batched MXU matmuls,
+                # ~6x cheaper than a vmapped solve against the identity.
+                Lp = jnp.linalg.cholesky(Mp.astype(jnp.float32))
+                nblk = m_pad // pk.NB
+                blocks = jnp.stack([Lp[k * pk.NB:(k + 1) * pk.NB,
+                                       k * pk.NB:(k + 1) * pk.NB]
+                                    for k in range(nblk)])
+                W = _invert_lower_blocks(blocks)
+            # one transpose at factor time (not per solve call)
+            LT = Lp.T
+        L = jnp.zeros((0,), Ms.dtype)
+        ldiag = jnp.diagonal(LT)
     else:
         L = jnp.linalg.cholesky(Ms)
         W = jnp.zeros((0,), Ms.dtype)
+        LT = jnp.zeros((0,), Ms.dtype)
         ldiag = jnp.diagonal(L)
 
     ok = (jnp.all(jnp.isfinite(ldiag)) & jnp.all(ldiag > 0)
@@ -198,7 +211,7 @@ def factor(A: jax.Array, d2: jax.Array, opts: SolverOptions,
         M_op = M
     else:
         M_op = jnp.zeros((0,), M.dtype)
-    return NormalEqFactor(L=L, j=j, d2=d2, ok=ok, W=W, M=M_op)
+    return NormalEqFactor(L=L, j=j, d2=d2, ok=ok, W=W, M=M_op, LT=LT)
 
 
 def _blocked_potrf(Ms: jax.Array, nb: int = 128, precision=None,
@@ -265,61 +278,68 @@ def _blocked_potrf(Ms: jax.Array, nb: int = 128, precision=None,
 
 
 def _blocked_potrf_left(Ms: jax.Array, nb: int = 128, precision=None):
-    """Left-looking variant of :func:`_blocked_potrf` (same (L, W) contract).
+    """Left-looking blocked Cholesky returning the TRANSPOSED factor:
+    ``(LT, W)`` with ``LT = L^T`` — the layout the fused pair-solve kernel
+    consumes — and W the (m/nb, nb, nb) diagonal-block inverses.
 
     The right-looking form materializes the whole trailing matrix every
     panel (sum over panels of (m-o)^2 read+write ~ 2/3 m^3/nb elements of
     HBM round-trips).  Left-looking instead DEFERS updates: each panel
-    reads the original column panel of M plus the already-computed L
-    columns and applies one matmul
+    reads the original ROW panel of M plus the already-computed LT rows
+    and applies one matmul.  Working directly in the transposed layout,
 
-        C = M[o:, o:o+nb] - L[o:, :o] @ L[o:o+nb, :o]^T
+        C^T = M[o:o+nb, o:] - LT[:o, o:o+nb]^T @ LT[:o, o:]
+        P^T = inv(L_kk) @ C^T[:, nb:]
 
-    touching ~2.3x fewer HBM elements at m=1024/nb=128.  FLOPs and
-    numerical behavior are identical (same Schur complements, evaluated
-    lazily; the accumulation matmul runs at the same precision as the
-    right-looking trailing syrk).
+    every product lands in LT's row panel with NO transposition anywhere
+    (M is symmetric, so its row panel IS the column panel transposed; the
+    only transposed operand sits inside a matmul, which the MXU handles
+    natively).  FLOPs and numerics are identical to the untransposed form
+    (same Schur complements, evaluated lazily, same precision).
+
+    ONE carried (m, m) buffer updated in place (dynamic_update_slice with
+    static offsets) instead of per-panel concatenations: the measured cost
+    of this factor at m=1024 is NOT MXU passes (DEFAULT 1-pass timed the
+    same as HIGHEST 6-pass) but XLA materialization traffic.  A/B'd at
+    B=256: concat history 34.3 ms, per-column small matmuls 34.5 ms,
+    carried buffer 31.0 ms.
     """
     m = Ms.shape[-1]
     hp = precision if precision is not None else jax.lax.Precision.HIGHEST
     dt = Ms.dtype
-    # ONE carried (m, m) buffer updated in place (dynamic_update_slice with
-    # static offsets) instead of per-panel column concatenations: the
-    # measured cost of this factor at m=1024 is NOT MXU passes (DEFAULT
-    # 1-pass timed the same as HIGHEST 6-pass) but XLA materialization
-    # traffic.  A/B'd at B=256: concat history 34.3 ms, per-column small
-    # matmuls 34.5 ms, carried buffer 31.0 ms — XLA elides enough of the
-    # update copies to win; slices of the carried buffer feed the matmuls.
-    L = jnp.zeros((m, m), dt)
+    LT = jnp.zeros((m, m), dt)
     winvs = []
     for o in range(0, m, nb):
-        C = Ms[o:, o:o + nb]
+        Ct = Ms[o:o + nb, o:]                                # (nb, m-o)
         if o:
-            # accumulation against the already-written columns: rows below
-            # the diagonal block of L are exactly L[o:, :o]
-            C = C - jnp.matmul(L[o:, :o], L[o:o + nb, :o].T, precision=hp)
+            # accumulation against the already-written rows of LT
+            Ct = Ct - jnp.matmul(LT[:o, o:o + nb].T, LT[:o, o:],
+                                 precision=hp)
         if nb == 128:
             from ipx.kernels import cholesky as pk
-            Ld1, Wd1 = pk._factor_block_twolevel(C[None, :nb, :nb],
+            # the diagonal Schur block is symmetric: its transpose IS the
+            # block, so Ct[:, :nb] feeds the factor directly
+            Ld1, Wd1 = pk._factor_block_twolevel(Ct[None, :, :nb],
                                                  mosaic=False)
             Ld, Wd = Ld1[0], Wd1[0]
         else:
-            Ld = jnp.linalg.cholesky(C[:nb, :nb])
+            Ld = jnp.linalg.cholesky(Ct[:, :nb])
             Wd = _invert_lower_blocks(Ld[None])[0]
         winvs.append(Wd)
         if m - o - nb > 0:
-            P = jnp.matmul(C[nb:], Wd.T, precision=hp)
-            col = jnp.concatenate([Ld, P], axis=0)
+            Pt = jnp.matmul(Wd, Ct[:, nb:], precision=hp)    # (nb, m-o-nb)
+            row = jnp.concatenate([Ld.T, Pt], axis=1)
         else:
-            col = Ld
-        L = jax.lax.dynamic_update_slice(L, col, (o, o))
+            row = Ld.T
+        LT = jax.lax.dynamic_update_slice(LT, row, (o, o))
     if nb == 128:
         W = jnp.stack(winvs)
     else:
-        blocks = jnp.stack([L[k * 128:(k + 1) * 128, k * 128:(k + 1) * 128]
-                            for k in range(m // 128)])
+        blocks = jnp.stack(
+            [LT[k * 128:(k + 1) * 128, k * 128:(k + 1) * 128].T
+             for k in range(m // 128)])
         W = _invert_lower_blocks(blocks)
-    return L, W
+    return LT, W
 
 
 def _invert_lower_blocks(blocks: jax.Array, base: int = 32) -> jax.Array:
@@ -365,9 +385,9 @@ def _chol_solve(fac: NormalEqFactor, rhs: jax.Array, backend: str) -> jax.Array:
     if backend in ("pallas", "hybrid", "blocked", "blocked_left"):
         from ipx.kernels import cholesky as pk
         m = rhs.shape[-1]
-        m_pad = fac.L.shape[-1]
+        m_pad = fac.LT.shape[-1]
         r = rhs if m_pad == m else jnp.zeros((m_pad,), rhs.dtype).at[:m].set(rhs)
-        y = pk.chol_solve_batched(fac.L[None], fac.W[None], r[None])[0]
+        y = pk.chol_solve_batched_lt(fac.LT[None], fac.W[None], r[None])[0]
         return y[:m]
     t = jax.scipy.linalg.solve_triangular(fac.L, rhs, lower=True)
     return jax.scipy.linalg.solve_triangular(fac.L.T, t, lower=False)

@@ -157,16 +157,16 @@ def test_blocked_left_backend_end_to_end():
 
 
 def test_blocked_potrf_left_matches_right():
-    """Left-looking variant: same (L, W) contract as _blocked_potrf."""
+    """Left-looking variant emits the TRANSPOSED factor (LT, W)."""
     m = 512
     M = _rand_spd(m, seed=3).astype(np.float32)
-    L, W = normal_eq._blocked_potrf_left(jnp.asarray(M), 128)
+    LT, W = normal_eq._blocked_potrf_left(jnp.asarray(M), 128)
     L_ref = np.linalg.cholesky(M.astype(np.float64))
-    np.testing.assert_allclose(np.asarray(L), L_ref, rtol=2e-3,
+    np.testing.assert_allclose(np.asarray(LT).T, L_ref, rtol=2e-3,
                                atol=5e-5 * np.abs(L_ref).max())
     assert W.shape == (m // pk.NB, pk.NB, pk.NB)
     for k in range(m // pk.NB):
-        blk = np.asarray(L)[k * pk.NB:(k + 1) * pk.NB,
-                            k * pk.NB:(k + 1) * pk.NB]
+        blk = np.asarray(LT).T[k * pk.NB:(k + 1) * pk.NB,
+                               k * pk.NB:(k + 1) * pk.NB]
         np.testing.assert_allclose(np.asarray(W)[k] @ blk, np.eye(pk.NB),
                                    atol=5e-4)

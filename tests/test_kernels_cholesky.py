@@ -7,6 +7,7 @@ Oracles: numpy.linalg.cholesky and scipy solves, f32 tolerances.
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from ipx.kernels import cholesky as pk
@@ -65,6 +66,29 @@ def test_chol_solve_batched(m):
         np.float64)
     rel = np.abs(x - x_true).max() / np.abs(x_true).max()
     assert rel <= 5e-3   # single f32 solve, cond=50
+
+
+@pytest.mark.parametrize("m", [128, 384])
+def test_chol_solve_batched_lt(m):
+    """Production entry point: solve from the TRANSPOSED factor only."""
+    rng = np.random.default_rng(7)
+    b = 2
+    M = _random_spd(rng, b, m, cond=50.0)
+    x_true = rng.standard_normal((b, m))
+    rhs = np.einsum("bij,bj->bi", M, x_true)
+    L, W = pk.cholesky_batched(jnp.asarray(M, jnp.float32))
+    LT = jnp.swapaxes(L, -1, -2)
+    x = np.asarray(
+        pk.chol_solve_batched_lt(LT, W, jnp.asarray(rhs, jnp.float32)),
+        np.float64)
+    rel = np.abs(x - x_true).max() / np.abs(x_true).max()
+    assert rel <= 5e-3
+
+    # under vmap: collapses to the kernel batch axis
+    xv = np.asarray(jax.vmap(pk.chol_solve_batched_lt)(
+        LT[:, None], W[:, None],
+        jnp.asarray(rhs, jnp.float32)[:, None])[:, 0], np.float64)
+    np.testing.assert_allclose(xv, x, rtol=1e-6, atol=1e-6)
 
 
 def test_solve_lower_vs_scipy():
