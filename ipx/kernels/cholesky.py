@@ -634,26 +634,188 @@ def _solve_chunk(B: int, m: int) -> int:
     return bc
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _chol_solve_pair_lt_impl(LT, W, b, interpret: bool | None = None):
+def _solve_pair_lt_kernel_db(lt_hbm, w_hbm, b_hbm, x_hbm, S0, S1, W0, W1,
+                             rv0, rv1, xv, sems, *, m: int, B: int, BC: int):
+    """Pipelined variant of :func:`_solve_pair_lt_kernel`: same algebra,
+    but every HBM load is DEPTH-1 PREFETCHED into rolling 2-slot buffers.
+
+    The non-pipelined kernel is latency-bound, not bandwidth-bound: each of
+    the 2*(nblk-1) stripe DMAs per chunk is started and then immediately
+    waited on, so the DMA engine idles between steps (measured ~3x off the
+    pair-solve's HBM floor; shrinking the stripes 22% only bought 7%).
+    Here stripe/W loads for block step k+1 are issued before step k's
+    compute, so one DMA is always in flight:
+
+    - stripe(k) lives in slot k%2, W(k) in wslot k%2 — the natural rolling
+      assignment makes every prefetch target the buffer freed two steps ago;
+    - the backward sweep REUSES the still-resident stripe(nblk-2) and the
+      last two W blocks from the forward sweep (same chunk, same data) and
+      keeps prefetching downward, so the pipeline never drains at the sweep
+      boundary — its W(k-2) prefetch is issued AFTER step k's compute (its
+      target wslot k%2 is read by that compute);
+    - at the chunk boundary the next chunk's b (into the parity-alternating
+      rv slot), W(0) and stripe(0) are issued during the current tail, and
+      the x store is only waited one chunk later, just before xv is reused.
+
+    Hazard rule used throughout: a DMA into a buffer is issued only at a
+    program point AFTER the last compute that reads the buffer's previous
+    contents (Mosaic orders the issue against prior vector ops).
+    """
+    nblk = m // NB
+    cols_r = jax.lax.broadcasted_iota(jnp.int32, (1, 1, m), 2)
+    Sb = (S0, S1)
+    Wb = (W0, W1)
+    rvb = (rv0, rv1)
+    nchunks = B // BC
+    cps = {}
+
+    def start_s(c, k):
+        o = k * NB
+        cp = pltpu.make_async_copy(
+            lt_hbm.at[c * BC:(c + 1) * BC, o:o + NB, o + NB:],
+            Sb[k % 2].at[:, :, o + NB:], sems.at[k % 2])
+        cp.start()
+        cps[("s", c, k)] = cp
+
+    def start_w(c, k):
+        cp = pltpu.make_async_copy(
+            w_hbm.at[c * BC:(c + 1) * BC, k], Wb[k % 2], sems.at[2 + k % 2])
+        cp.start()
+        cps[("w", c, k)] = cp
+
+    def start_b(c):
+        cp = pltpu.make_async_copy(
+            b_hbm.at[c * BC:(c + 1) * BC], rvb[c % 2], sems.at[4 + c % 2])
+        cp.start()
+        cps[("b", c)] = cp
+
+    def start_x(c):
+        cp = pltpu.make_async_copy(
+            xv, x_hbm.at[c * BC:(c + 1) * BC], sems.at[6])
+        cp.start()
+        cps[("x", c)] = cp
+
+    def wait(*key):
+        cps.pop(key).wait()
+
+    # prologue: chunk 0's b, W(0), stripe(0)
+    start_b(0)
+    start_w(0, 0)
+    if nblk > 1:
+        start_s(0, 0)
+
+    for c in range(nchunks):
+        rv = rvb[c % 2]
+        wait("b", c)
+        # ---- forward: right-looking L y = b (rv morphs r -> y) ------------
+        for k in range(nblk):
+            o = k * NB
+            if k + 1 < nblk:
+                start_w(c, k + 1)
+                if k + 1 < nblk - 1:
+                    start_s(c, k + 1)
+            wait("w", c, k)
+            yk = _bmv2(Wb[k % 2][:], rv[:, o:o + NB])        # (BC, NB)
+            rv[:, o:o + NB] = yk
+            if k < nblk - 1:
+                wait("s", c, k)
+                masked = jnp.where(cols_r >= o + NB, Sb[k % 2][:], 0.0)
+                # batched row-vector @ matrix (Mosaic rejects the direct
+                # dim-1 contraction; see the non-pipelined kernel)
+                upd = jax.lax.dot_general(
+                    yk[:, None, :], masked, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                    precision=_HP)[:, 0, :]
+                rv[:] = rv[:] - upd
+        # ---- backward: L^T x = y via the same strict-suffix stripes -------
+        # Resident from the forward sweep: stripe(nblk-2), W(nblk-1),
+        # W(nblk-2) — their copy objects were already waited there.
+        if c + 1 < nchunks:
+            start_b(c + 1)
+        if c > 0:
+            wait("x", c - 1)
+        xv[:] = jnp.zeros((BC, m), jnp.float32)
+        for k in range(nblk - 1, -1, -1):
+            o = k * NB
+            if 0 <= k - 1 <= nblk - 3:
+                start_s(c, k - 1)        # slot (k-1)%2: read at step k+1
+            if k <= nblk - 2:
+                if k < nblk - 2:
+                    wait("s", c, k)
+                masked = jnp.where(cols_r >= o + NB, Sb[k % 2][:], 0.0)
+                r = rv[:, o:o + NB] - _bmv2(masked, xv[:])
+            else:
+                r = rv[:, o:o + NB]
+            if k < nblk - 2:
+                wait("w", c, k)
+            WbT = jnp.swapaxes(Wb[k % 2][:], 1, 2)
+            xv[:, o:o + NB] = _bmv2(WbT, r)                  # W^T r
+            if k - 2 >= 0:
+                start_w(c, k - 2)        # wslot k%2: freed by THIS compute
+        start_x(c)
+        if c + 1 < nchunks:
+            start_w(c + 1, 0)            # wslot 0: freed by backward step 0
+            if nblk > 1:
+                start_s(c + 1, 0)
+    wait("x", nchunks - 1)
+
+
+def _solve_chunk_db(B: int, m: int) -> int:
+    """Largest divisor of B whose DOUBLE-buffered pair-solve working set
+    (two (BC, NB, m) stripes + two W slots + 3 vector buffers) fits ~9.5MB
+    of VMEM."""
+    per = 2 * NB * m * 4 + 2 * NB * NB * 4 + 3 * m * 4
+    cap = max(1, ((9 << 20) + (1 << 19)) // per)
+    bc = 1
+    for d in range(1, min(B, cap) + 1):
+        if B % d == 0:
+            bc = d
+    return bc
+
+
+# Production default for the pair-solve kernel: pipelined double-buffered
+# stripe DMA (A/B'd against the start-wait kernel; flip for diagnosis only).
+PAIR_SOLVE_PIPELINE = True
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "pipeline"))
+def _chol_solve_pair_lt_impl(LT, W, b, interpret: bool | None = None,
+                             pipeline: bool | None = None):
     if interpret is None:
         interpret = _interpret()
+    if pipeline is None:
+        pipeline = PAIR_SOLVE_PIPELINE
     B, m, _ = LT.shape
-    BC = _solve_chunk(B, m)
-    kernel = functools.partial(_solve_pair_lt_kernel, m=m, B=B, BC=BC)
+    if pipeline:
+        BC = _solve_chunk_db(B, m)
+        kernel = functools.partial(_solve_pair_lt_kernel_db, m=m, B=B, BC=BC)
+        scratch = [
+            pltpu.VMEM((BC, NB, m), jnp.float32),    # S0: stripe slot 0
+            pltpu.VMEM((BC, NB, m), jnp.float32),    # S1: stripe slot 1
+            pltpu.VMEM((BC, NB, NB), jnp.float32),   # W0: diag-inv slot 0
+            pltpu.VMEM((BC, NB, NB), jnp.float32),   # W1: diag-inv slot 1
+            pltpu.VMEM((BC, m), jnp.float32),        # rv0: rhs/y (even chunks)
+            pltpu.VMEM((BC, m), jnp.float32),        # rv1: rhs/y (odd chunks)
+            pltpu.VMEM((BC, m), jnp.float32),        # xv: final result
+            pltpu.SemaphoreType.DMA((7,)),
+        ]
+    else:
+        BC = _solve_chunk(B, m)
+        kernel = functools.partial(_solve_pair_lt_kernel, m=m, B=B, BC=BC)
+        scratch = [
+            pltpu.VMEM((BC, NB, m), jnp.float32),    # S: stripe (both sweeps)
+            pltpu.VMEM((BC, NB, NB), jnp.float32),   # Wb: diag-block inverses
+            pltpu.VMEM((BC, m), jnp.float32),        # rv: rhs -> forward y
+            pltpu.VMEM((BC, m), jnp.float32),        # xv: final result
+            pltpu.SemaphoreType.DMA((3,)),
+        ]
     return pl.pallas_call(
         kernel,
         grid=(1,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((B, m), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((BC, NB, m), jnp.float32),    # S: stripe (both sweeps)
-            pltpu.VMEM((BC, NB, NB), jnp.float32),   # Wb: diag-block inverses
-            pltpu.VMEM((BC, m), jnp.float32),        # rv: rhs -> forward y
-            pltpu.VMEM((BC, m), jnp.float32),        # xv: final result
-            pltpu.SemaphoreType.DMA((3,)),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(LT, W, b.astype(jnp.float32))
 

@@ -91,6 +91,22 @@ def test_chol_solve_batched_lt(m):
     np.testing.assert_allclose(xv, x, rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.parametrize("m,b", [(128, 2), (256, 3), (1024, 8)])
+def test_chol_solve_pair_pipeline_matches(m, b):
+    """The pipelined (double-buffered DMA) pair-solve kernel is algebraically
+    identical to the start-wait kernel — results must match bitwise."""
+    rng = np.random.default_rng(11)
+    M = _random_spd(rng, b, m, cond=50.0)
+    rhs = rng.standard_normal((b, m))
+    L, W = pk.cholesky_batched(jnp.asarray(M, jnp.float32))
+    LT = jnp.swapaxes(L, -1, -2)
+    x_pipe = np.asarray(pk._chol_solve_pair_lt_impl(
+        LT, W, jnp.asarray(rhs, jnp.float32), pipeline=True))
+    x_ref = np.asarray(pk._chol_solve_pair_lt_impl(
+        LT, W, jnp.asarray(rhs, jnp.float32), pipeline=False))
+    np.testing.assert_array_equal(x_pipe, x_ref)
+
+
 def test_solve_lower_vs_scipy():
     from scipy.linalg import solve_triangular
     rng = np.random.default_rng(3)
