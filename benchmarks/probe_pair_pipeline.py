@@ -41,8 +41,8 @@ def main() -> int:
     M = A @ np.swapaxes(A, 1, 2) + np.eye(m, dtype=np.float32)
     L = np.linalg.cholesky(M)
     nblk = m // pk.NB
-    W = np.stack([np.linalg.inv(L[:, k * 128:(k + 1) * 128,
-                                  k * 128:(k + 1) * 128])
+    W = np.stack([np.linalg.inv(L[:, k * pk.NB:(k + 1) * pk.NB,
+                                  k * pk.NB:(k + 1) * pk.NB])
                   for k in range(nblk)], axis=1).astype(np.float32)
     LT = jnp.asarray(np.swapaxes(L, 1, 2))
     Wd = jnp.asarray(W)
@@ -73,8 +73,9 @@ def main() -> int:
             per = ((t2 - t1) - (t1 - t0)) / (args.k2 - args.k1) * 1e3
             best = min(best, per)
         # HBM floor: both sweeps read the strict-triangular factor once
-        # (m^2/2 each) + W + vectors
-        bytes_per = B * (m * m * 4.0 + nblk * 128 * 128 * 4 + 4 * m * 4)
+        # (m^2/2 each) + W + vectors (all sizes in units of pk.NB so the
+        # script tracks the kernel's block width — ADVICE r2 #3)
+        bytes_per = B * (m * m * 4.0 + nblk * pk.NB * pk.NB * 4 + 4 * m * 4)
         floor_ms = bytes_per / 819e9 * 1e3
         print(f"pipeline={pipeline}: {best:.3f} ms/pair-solve "
               f"(B={B}, m={m}; HBM floor ~{floor_ms:.3f} ms, "

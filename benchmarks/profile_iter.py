@@ -305,19 +305,38 @@ def main() -> int:
                             "profile_iter.jsonl")
     cfg = {"batch": B, "m": m, "n": n, "a_storage": args.a_storage,
            "chol_backend": args.chol_backend}
+    def measure(fn, operands, sync, k1, k2, repeats):
+        times = {}
+        for k in (k1, k2):
+            sync(fn(k, *operands))          # compile
+            best = float("inf")
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                sync(fn(k, *operands))
+                best = min(best, time.perf_counter() - t0)
+            times[k] = best
+        return (times[k2] - times[k1]) / (k2 - k1)
+
     for name, (fn, operands, sync) in stages.items():
         try:
-            times = {}
-            for k in (args.k1, args.k2):
-                sync(fn(k, *operands))          # compile
-                best = float("inf")
-                for _ in range(args.repeats):
-                    t0 = time.perf_counter()
-                    sync(fn(k, *operands))
-                    best = min(best, time.perf_counter() - t0)
-                times[k] = best
-            per = (times[args.k2] - times[args.k1]) / (args.k2 - args.k1)
-            rec = {"stage": name, "ms": round(per * 1e3, 3), **cfg}
+            per = measure(fn, operands, sync, args.k1, args.k2, args.repeats)
+            if per <= 0:
+                # Sanity guard (VERDICT r2 weak #2: a -37.9ms "assemble" was
+                # committed once): a non-positive two-trip-count difference
+                # means either XLA hoisted the loop body (k2 didn't do k2x
+                # the work) or tunnel noise swamped the signal.  Re-measure
+                # once with 4x the trip counts — the larger spread drowns
+                # fixed noise — and refuse to record a number if it is
+                # STILL non-positive.
+                per = measure(fn, operands, sync, 4 * args.k1, 4 * args.k2,
+                              args.repeats)
+            if per <= 0:
+                rec = {"stage": name, "ms": None,
+                       "error": "non-positive stage time after remeasure "
+                                "(loop body hoisted or noise > signal)",
+                       **cfg}
+            else:
+                rec = {"stage": name, "ms": round(per * 1e3, 3), **cfg}
         except Exception as e:  # noqa: BLE001 — record and continue
             rec = {"stage": name, "error": f"{type(e).__name__}: {e}"[:200],
                    **cfg}

@@ -763,7 +763,11 @@ def _solve_pair_lt_kernel_db(lt_hbm, w_hbm, b_hbm, x_hbm, S0, S1, W0, W1,
 def _solve_chunk_db(B: int, m: int) -> int:
     """Largest divisor of B whose DOUBLE-buffered pair-solve working set
     (two (BC, NB, m) stripes + two W slots + 3 vector buffers) fits ~9.5MB
-    of VMEM."""
+    of VMEM.  The budget counts SCRATCH only: Mosaic's compiler temporaries
+    (the masked-stripe select and dot operands, up to ~one more (BC, NB, m)
+    stripe, +0.5MB/instance at m=1024) come out of the remaining ~6.5MB —
+    measured headroom at BC=8, m=1024 on the real chip, NOT slack in this
+    estimate (ADVICE r2 #4).  Raise the budget only with a re-measure."""
     per = 2 * NB * m * 4 + 2 * NB * NB * 4 + 3 * m * 4
     cap = max(1, ((9 << 20) + (1 << 19)) // per)
     bc = 1
@@ -774,7 +778,11 @@ def _solve_chunk_db(B: int, m: int) -> int:
 
 
 # Production default for the pair-solve kernel: pipelined double-buffered
-# stripe DMA (A/B'd against the start-wait kernel; flip for diagnosis only).
+# stripe DMA (A/B'd against the start-wait kernel).  Diagnosis flips must
+# happen BEFORE the first traced call of an enclosing jit (the flag is read
+# at trace time, never at run time); `chol_solve_batched_lt` resolves it
+# outside the inner jit so a flip at least invalidates nothing silently
+# within a fresh trace (ADVICE r2 #1).
 PAIR_SOLVE_PIPELINE = True
 
 
@@ -828,7 +836,11 @@ def chol_solve_batched_lt(LT, W, b):
     normal_eq.factor), so no transpose is ever materialized.  vmap
     collapses into the kernel batch axis (custom_vmap), so batched solvers
     get grid-level batching instead of a pallas vmap dimension."""
-    return _chol_solve_pair_lt_impl(LT, W, b)
+    # pipeline resolved HERE (outside the inner jit) so the module flag is
+    # honored per-trace instead of being baked into the first compile's
+    # default-argument cache entry (ADVICE r2 #1)
+    return _chol_solve_pair_lt_impl(LT, W, b, interpret=_interpret(),
+                                    pipeline=PAIR_SOLVE_PIPELINE)
 
 
 @chol_solve_batched_lt.def_vmap
