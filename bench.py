@@ -38,7 +38,7 @@ def main() -> int:
     p.add_argument("--quick", action="store_true",
                    help="small shapes for smoke-testing the harness")
     p.add_argument("--chol-backend",
-                   choices=["xla", "pallas", "hybrid", "blocked",
+                   choices=["xla", "pallas", "pallas_left", "hybrid", "blocked",
                             "blocked_left"],
                    default="blocked_left",
                    help="factorization backend A/B (production: "

@@ -46,7 +46,7 @@ def main() -> int:
     ap.add_argument("--a-storage", choices=["float32", "bfloat16"],
                     default="bfloat16")
     ap.add_argument("--chol-backend",
-                    choices=["xla", "pallas", "hybrid", "blocked",
+                    choices=["xla", "pallas", "pallas_left", "hybrid", "blocked",
                              "blocked_left"],
                     default="blocked_left")
     ap.add_argument("--refine-solve-cg", type=int, default=0)
@@ -160,8 +160,8 @@ def main() -> int:
         from ipx.kernels import cholesky as pk
 
         def body(_, r):
-            if opts.chol_backend in ("pallas", "hybrid", "blocked",
-                                     "blocked_left"):
+            if opts.chol_backend in ("pallas", "pallas_left", "hybrid",
+                                     "blocked", "blocked_left"):
                 y = pk.chol_solve_batched_lt(LT, W, r)
             else:
                 y = jax.vmap(lambda Lk, b: jax.scipy.linalg.cho_solve(
@@ -247,6 +247,18 @@ def main() -> int:
         out = jax.lax.fori_loop(0, k, body, Ms)
         return jnp.diagonal(out, axis1=-2, axis2=-1)
 
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def run_pallas_left_factor(k, Ms):
+        from ipx.kernels import cholesky as pk
+
+        def body(_, Ms):
+            LT, W = pk.factor_lt_batched(Ms)
+            return Ms + one * (jnp.abs(
+                jnp.diagonal(LT, axis1=-2, axis2=-1))
+                + jnp.mean(jnp.abs(W), axis=(1, 2, 3))[:, None])[:, :, None]
+        out = jax.lax.fori_loop(0, k, body, Ms)
+        return jnp.diagonal(out, axis1=-2, axis2=-1)
+
     # --- solve sub-stages: where do the ~3ms beyond (2 precond + 2 ata) go?
     @functools.partial(jax.jit, static_argnums=(0,))
     def run_cgchain(k, LT, W, A, d2, r):
@@ -293,6 +305,7 @@ def main() -> int:
         "winv": (run_winv, (L0,), sync_arr),
         "blocked_factor": (run_blocked_factor, (Ms0,), sync_arr),
         "pallas_factor": (run_pallas_factor, (Ms0,), sync_arr),
+        "pallas_left_factor": (run_pallas_left_factor, (Ms0,), sync_arr),
         "cgchain": (run_cgchain,
                     (LT0, fac0.W, blp.A, fac0.d2, rhs_0), sync_arr),
         "precond_vmapped": (run_precond_vmapped, (fac0, rhs_0), sync_arr),

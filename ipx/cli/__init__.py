@@ -24,7 +24,7 @@ def _add_solver_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--max-iter", type=int, default=None)
     p.add_argument("--dtype", choices=["float32", "float64"], default=None)
     p.add_argument("--chol-backend",
-                   choices=["xla", "pallas", "hybrid", "blocked",
+                   choices=["xla", "pallas", "pallas_left", "hybrid", "blocked",
                             "blocked_left"],
                    default=None)
     p.add_argument("--matvec-backend", choices=["xla", "fused"],

@@ -422,7 +422,8 @@ def mehrotra_step(lp: LP, state: IPMState, opts: SolverOptions,
     # iterations.  The augmented routes handle regularization inside the
     # quasi-definite system, so sticky is free there too.  Static
     # (trace-time) selection.
-    decay = (opts.reg_boost_decay if opts.linsys == "sharded" else 1.0)
+    decay = (opts.reg_boost_decay if opts.linsys == "sharded"
+             else opts.reg_boost_decay_dense)
     reg_floor = jnp.where(
         finite, state.reg_floor,
         jnp.minimum(jnp.maximum(state.reg_floor,

@@ -863,6 +863,173 @@ def chol_solve_batched(L, W, b):
     return chol_solve_batched_lt(jnp.swapaxes(L, -1, -2), W, b)
 
 
+def _factor_lt_kernel(ms_hbm, lt_hbm, w_hbm, C0, C1, P0, P1, Wst, sems,
+                      *, m: int, BF: int):
+    """LEFT-looking batched Cholesky emitting the TRANSPOSED factor LT.
+
+    The round-2 production factor (normal_eq._blocked_potrf_left) has the
+    right algorithm but runs at the XLA level, where its measured cost is
+    materialization traffic (every dynamic_update_slice / operand staging
+    round-trips the (B, m, m) buffer through HBM) — ~10x off the factor's
+    true HBM floor.  This kernel keeps the CURRENT row panel resident in
+    VMEM and touches HBM exactly once per datum:
+
+      panel k (o = k*NB), transposed layout throughout:
+        C  = M[o:o+NB, o:]  -  sum_{j<k} LT[jNB:(j+1)NB, o:o+NB]^T
+                                         @ LT[jNB:(j+1)NB, o:]
+        L_kk, W_kk = factor(C[:, :NB])        (diag block, batched)
+        LT[o:o+NB, :] = [0, L_kk^T, W_kk @ C[:, NB:]]
+
+    Streaming structure per batch chunk of BF instances:
+      * prior panels j <= k-2 are DMA'd from the already-written LT with
+        DEPTH-1 prefetch into rolling slots P0/P1 (one stripe always in
+        flight, as in the pair-solve kernel);
+      * the accumulator PING-PONGS between C0/C1, so panel k-1's finished
+        value is still resident when panel k consumes it — the largest
+        single contribution (suffix width m-o) never round-trips HBM, and
+        panel k-1's LT store overlaps panel k's compute (its buffer is only
+        rewritten at panel k+1, after an explicit wait);
+      * every value slice is static (k, j, o are Python-loop constants) and
+        suffix-aligned to the fresh DMA region, so no iota masking is
+        needed anywhere — stale prefix columns are simply never read.
+
+    Per-instance HBM traffic at m=1024: M suffix reads 2.25MB + streamed
+    priors 3.7MB + LT writes 4MB + W 0.6MB ~= 10.5MB — vs the ~45MB/inst
+    of the right-looking Mosaic kernel's trailing updates and the XLA
+    factor's materialization multiples of m^2.
+    """
+    nblk = m // NB
+    b0 = pl.multiple_of(pl.program_id(0) * BF, BF)
+    Cb = (C0, C1)
+    Pb = (P0, P1)
+    cps = {}
+
+    def start_p(j, o):
+        # prior LT row panel j, suffix columns [o:] (the only part panel k
+        # reads); lands in the rolling slot j%2
+        cp = pltpu.make_async_copy(
+            lt_hbm.at[pl.ds(b0, BF), j * NB:(j + 1) * NB, o:],
+            Pb[j % 2].at[:, :, o:], sems.at[j % 2])
+        cp.start()
+        cps[("p", j)] = cp
+
+    for k in range(nblk):
+        o = k * NB
+        Ck = Cb[k % 2]
+        if k >= 2:
+            # Ck still feeds panel k-2's LT store: wait before overwriting
+            cps.pop(("l", k - 2)).wait()
+        cp_m = pltpu.make_async_copy(
+            ms_hbm.at[pl.ds(b0, BF), o:o + NB, o:], Ck.at[:, :, o:],
+            sems.at[2])
+        cp_m.start()
+        if k >= 2:
+            start_p(0, o)
+        cp_m.wait()
+        # --- streamed prior panels j = 0 .. k-2 (depth-1 prefetch) --------
+        for j in range(k - 1):
+            if j + 1 < k - 1:
+                start_p(j + 1, o)
+            cps.pop(("p", j)).wait()
+            Pj = Pb[j % 2]
+            upd = _bmm(jnp.swapaxes(Pj[:, :, o:o + NB], 1, 2), Pj[:, :, o:])
+            Ck[:, :, o:] = Ck[:, :, o:] - upd
+        # --- panel k-1 directly from its resident accumulator -------------
+        if k >= 1:
+            Cp = Cb[(k - 1) % 2]
+            upd = _bmm(jnp.swapaxes(Cp[:, :, o:o + NB], 1, 2), Cp[:, :, o:])
+            Ck[:, :, o:] = Ck[:, :, o:] - upd
+        # --- diagonal factor + inverse (batched over the chunk) -----------
+        L_D, W_D = _factor_block_twolevel(Ck[:, :, o:o + NB])
+        Wst[:] = W_D
+        cp_w = pltpu.make_async_copy(Wst, w_hbm.at[pl.ds(b0, BF), k],
+                                     sems.at[3])
+        cp_w.start()
+        # --- panel TRSM-as-matmul + final full-width compose ---------------
+        if o + NB < m:
+            Ck[:, :, o + NB:] = _bmm(W_D, Ck[:, :, o + NB:])
+        Ck[:, :, o:o + NB] = jnp.swapaxes(L_D, 1, 2)
+        if o > 0:
+            Ck[:, :, :o] = jnp.zeros((BF, NB, o), jnp.float32)
+        cp_l = pltpu.make_async_copy(
+            Ck, lt_hbm.at[pl.ds(b0, BF), o:o + NB, :], sems.at[4 + k % 2])
+        cp_l.start()                 # waited at panel k+2 (buffer reuse)
+        cps[("l", k)] = cp_l
+        cp_w.wait()
+    # drain the last two LT stores before the next grid step reuses C0/C1
+    for k in (nblk - 2, nblk - 1):
+        if k >= 0:
+            cps.pop(("l", k)).wait()
+
+
+def _factor_chunk(B: int, m: int) -> int:
+    """Largest divisor of B whose factor working set (4 (BF, NB, m) stripes
+    + W staging + ~one stripe of dot/diag temporaries) fits ~11MB VMEM."""
+    per = 4 * NB * m * 4 + NB * NB * 4
+    cap = max(1, (11 << 20) // int(per * 1.3))
+    bf = 1
+    for d in range(1, min(B, cap) + 1):
+        if B % d == 0:
+            bf = d
+    return bf
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _factor_lt_impl(M: jax.Array, interpret: bool | None = None):
+    if interpret is None:
+        interpret = _interpret()
+    B, m, m2 = M.shape
+    assert m == m2 and m % NB == 0, f"m={m} must be a multiple of {NB}"
+    nblk = m // NB
+    BF = _factor_chunk(B, m)
+    kernel = functools.partial(_factor_lt_kernel, m=m, BF=BF)
+    LT, W = pl.pallas_call(
+        kernel,
+        grid=(B // BF,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, m, m), jnp.float32),
+            jax.ShapeDtypeStruct((B, nblk, NB, NB), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((BF, NB, m), jnp.float32),     # C0: accumulator (even)
+            pltpu.VMEM((BF, NB, m), jnp.float32),     # C1: accumulator (odd)
+            pltpu.VMEM((BF, NB, m), jnp.float32),     # P0: stream slot 0
+            pltpu.VMEM((BF, NB, m), jnp.float32),     # P1: stream slot 1
+            pltpu.VMEM((BF, NB, NB), jnp.float32),    # Wst: W staging
+            pltpu.SemaphoreType.DMA((6,)),
+        ],
+        interpret=interpret,
+    )(M.astype(jnp.float32))
+    return LT, W
+
+
+@jax.custom_batching.custom_vmap
+def factor_lt_batched(M: jax.Array):
+    """Batched Cholesky, TRANSPOSED output: M (B, m, m) SPD ->
+    (LT (B, m, m) upper-triangular = L^T, W (B, m/NB, NB, NB) diag-block
+    inverses) — exactly the layout :func:`chol_solve_batched_lt` consumes,
+    with no transpose materialized anywhere.  m must be a multiple of 128
+    (pad upstream; ipx/linsys/normal_eq.py does).  vmap collapses the
+    mapped axis into the kernel batch axis."""
+    return _factor_lt_impl(M)
+
+
+@factor_lt_batched.def_vmap
+def _factor_lt_batched_vmap(axis_size, in_batched, M):
+    (mb,) = in_batched
+    if not mb:
+        M = jnp.broadcast_to(M[None], (axis_size, *M.shape))
+    V, B = M.shape[0], M.shape[1]
+    LT, W = factor_lt_batched(M.reshape(V * B, *M.shape[2:]))
+    return ((LT.reshape(V, B, *LT.shape[1:]), W.reshape(V, B, *W.shape[1:])),
+            (True, True))
+
+
 # --- single-instance conveniences (used by normal_eq under vmap) -----------
 
 def cholesky(M: jax.Array):

@@ -162,7 +162,8 @@ def factor(A: jax.Array, d2: jax.Array, opts: SolverOptions,
     reg = jnp.asarray(opts.reg, M.dtype) * jnp.asarray(reg_scale, M.dtype)
     Ms = Ms + reg * jnp.eye(m, dtype=M.dtype)
 
-    if opts.chol_backend in ("pallas", "hybrid", "blocked", "blocked_left"):
+    if opts.chol_backend in ("pallas", "pallas_left", "hybrid", "blocked",
+                             "blocked_left"):
         # Imported lazily: the XLA path must stay importable everywhere.
         from ipx.kernels import cholesky as pk
         # Pad to a multiple of the 128 MXU tile with an identity extension:
@@ -175,7 +176,13 @@ def factor(A: jax.Array, d2: jax.Array, opts: SolverOptions,
             Mp = Mp.at[jnp.arange(m, m_pad), jnp.arange(m, m_pad)].set(1.0)
         else:
             Mp = Ms
-        if opts.chol_backend == "blocked_left":
+        if opts.chol_backend == "pallas_left":
+            # the kernel-resident left-looking factor: emits the transposed
+            # layout + diag-block inverses in ONE Mosaic kernel with
+            # VMEM-resident panels (see kernels/cholesky._factor_lt_kernel)
+            LT1, W1 = pk.factor_lt_batched(Mp[None].astype(jnp.float32))
+            LT, W = LT1[0], W1[0]
+        elif opts.chol_backend == "blocked_left":
             # the production factor: emits the transposed layout directly
             LT, W = _blocked_potrf_left(Mp.astype(jnp.float32), pk.NB)
         else:
@@ -382,7 +389,8 @@ def use_fused_matvec(opts: SolverOptions, A: jax.Array) -> bool:
 
 
 def _chol_solve(fac: NormalEqFactor, rhs: jax.Array, backend: str) -> jax.Array:
-    if backend in ("pallas", "hybrid", "blocked", "blocked_left"):
+    if backend in ("pallas", "pallas_left", "hybrid", "blocked",
+                   "blocked_left"):
         from ipx.kernels import cholesky as pk
         m = rhs.shape[-1]
         m_pad = fac.LT.shape[-1]

@@ -85,6 +85,11 @@ class SolverOptions:
     # case converges OPTIMAL sticky, stalls at 5e-3 with decay).  1.0
     # disables decay.
     reg_boost_decay: float = 0.1
+    # Decay factor for the DENSE/augmented routes (default 1.0 = sticky).
+    # Exposed as an explicit knob so the policy boundary is testable
+    # (tests/test_reg_boost_policy.py pins both anecdotes); changing the
+    # default requires re-running the degenerate fuzz battery.
+    reg_boost_decay_dense: float = 1.0
     # Iterate-divergence threshold for the heuristic Farkas certificates
     # (PRIMAL_INFEASIBLE / DUAL_INFEASIBLE statuses).
     infeas_diverge_thresh: float = 1e7
@@ -141,6 +146,11 @@ class SolverOptions:
                                 #   defers trailing updates, ~2.3x fewer HBM
                                 #   round-trips at m=1024 — measured 20.7 vs
                                 #   21.9 ms at B=128)
+                                # | "pallas_left" (the kernel-resident
+                                #   left-looking Mosaic factor: VMEM-resident
+                                #   panels, depth-1 stripe prefetch, emits
+                                #   LT + W directly — the production batch
+                                #   factor; see kernels/cholesky.py)
     # Matvec backend for the f32 dense route: "fused" evaluates the
     # matrix-free normal operator / KKT-refinement rhs with the A-resident
     # Pallas stripe kernel (ipx/kernels/fused.py) — ONE stream of A where
@@ -178,8 +188,8 @@ class SolverOptions:
             raise ValueError(f"unsupported a_storage {self.a_storage!r}")
         if self.a_storage == "bfloat16" and self.dtype != "float32":
             raise ValueError("a_storage='bfloat16' requires dtype='float32'")
-        if self.chol_backend not in ("xla", "pallas", "hybrid", "blocked",
-                                     "blocked_left"):
+        if self.chol_backend not in ("xla", "pallas", "pallas_left",
+                                     "hybrid", "blocked", "blocked_left"):
             raise ValueError(f"unsupported chol_backend {self.chol_backend!r}")
         if self.dtype == "float64" and self.chol_backend != "xla":
             # the Mosaic kernels are f32-only; a silent downcast of the

@@ -115,6 +115,60 @@ def test_chol_solve_pair_pipeline_matches(m, b):
     np.testing.assert_array_equal(x_pipe, x_ref)
 
 
+@pytest.mark.parametrize("b,m", [(1, 128), (3, 256), (2, 512)])
+def test_factor_lt_matches_numpy(b, m):
+    """Kernel-resident left-looking factor: LT = L^T and W = inv(L_kk)."""
+    rng = np.random.default_rng(21)
+    M = _random_spd(rng, b, m)
+    LT, W = pk.factor_lt_batched(jnp.asarray(M, jnp.float32))
+    LT = np.asarray(LT, np.float64)
+    W = np.asarray(W, np.float64)
+    for i in range(b):
+        ref = np.linalg.cholesky(M[i])
+        np.testing.assert_allclose(LT[i].T, ref, rtol=5e-3, atol=5e-4)
+        assert np.all(np.tril(LT[i], -1) == 0)     # strict lower exactly 0
+        for k in range(m // pk.NB):
+            o = k * pk.NB
+            err = np.abs(W[i, k] @ ref[o:o + pk.NB, o:o + pk.NB]
+                         - np.eye(pk.NB)).max()
+            assert err <= 5e-4
+
+
+def test_factor_lt_ill_conditioned_endgame():
+    """The factor must stay finite and useful on endgame-style spectra
+    (the f32 stress case that killed the Neumann-product inversion)."""
+    rng = np.random.default_rng(22)
+    M = _random_spd(rng, 2, 256, cond=1e6)
+    LT, W = pk.factor_lt_batched(jnp.asarray(M, jnp.float32))
+    LT = np.asarray(LT, np.float64)
+    assert np.all(np.isfinite(LT)) and np.all(np.isfinite(np.asarray(W)))
+    # reconstruction through the factor: LT^T LT ~ M
+    for i in range(2):
+        rec = LT[i].T @ LT[i]
+        assert np.abs(rec - M[i]).max() <= 1e-4 * np.abs(M[i]).max()
+
+
+def test_factor_lt_feeds_pair_solve():
+    """The factor's native output layout drives chol_solve_batched_lt with
+    no transpose anywhere — the production (factor -> solve) composition."""
+    rng = np.random.default_rng(23)
+    b, m = 2, 384
+    M = _random_spd(rng, b, m, cond=50.0)
+    x_true = rng.standard_normal((b, m))
+    rhs = np.einsum("bij,bj->bi", M, x_true)
+    LT, W = pk.factor_lt_batched(jnp.asarray(M, jnp.float32))
+    x = np.asarray(pk.chol_solve_batched_lt(
+        LT, W, jnp.asarray(rhs, jnp.float32)), np.float64)
+    rel = np.abs(x - x_true).max() / np.abs(x_true).max()
+    assert rel <= 5e-3
+
+    # under vmap: collapses to the kernel batch axis
+    LTv, Wv = jax.vmap(pk.factor_lt_batched)(
+        jnp.asarray(M, jnp.float32)[:, None])
+    np.testing.assert_array_equal(np.asarray(LTv[:, 0]), np.asarray(LT))
+    np.testing.assert_array_equal(np.asarray(Wv[:, 0]), np.asarray(W))
+
+
 def test_solve_lower_vs_scipy():
     from scipy.linalg import solve_triangular
     rng = np.random.default_rng(3)
