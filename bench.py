@@ -232,8 +232,19 @@ def main() -> int:
     instance_iters_per_s = B * batched_iters_per_s
 
     # --- correctness probe: full convergent solve on a sub-batch -----------
-    probe_B = min(Bc, 4)
-    probe = jax.tree_util.tree_map(lambda leaf: leaf[:probe_B], chunk_lps[0])
+    # >=1 instance from EVERY chunk (VERDICT r2 weak #7: probing only the
+    # first chunk left "did chunk 7 also converge" open at B=1024), padded
+    # to 4 with extra instances from chunk 0.
+    per_chunk = max(1, 4 // args.chunks)
+    probe_parts = [jax.tree_util.tree_map(
+        lambda leaf: leaf[:per_chunk], lp_c) for lp_c in chunk_lps]
+    if per_chunk * args.chunks < 4:
+        probe_parts.append(jax.tree_util.tree_map(
+            lambda leaf: leaf[per_chunk:4 - per_chunk * (args.chunks - 1)],
+            chunk_lps[0]))
+    probe = jax.tree_util.tree_map(
+        lambda *leaves: jnp.concatenate(leaves, axis=0), *probe_parts)
+    probe_B = int(probe.c.shape[0])
     sols = ipx.solve_batch(
         probe, options=ipx.SolverOptions(dtype="float32", max_iter=48,
                                          chol_backend=args.chol_backend,

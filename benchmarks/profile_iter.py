@@ -114,11 +114,19 @@ def main() -> int:
         return jax.vmap(lambda a, d: normal_eq.factor(a, d, opts))(blp.A, d2)
 
     fac0 = jax.block_until_ready(factor_fn(blp, d2_0, opts))
-    # pallas-family factors carry only the transposed layout LT; derive
-    # both orientations once here so every stage gets its native operand
-    has_lt = fac0.LT.ndim >= 2
-    L0 = jnp.swapaxes(fac0.LT, -1, -2) if has_lt else fac0.L
-    LT0 = fac0.LT if has_lt else jnp.swapaxes(fac0.L, -1, -2)
+    # pallas-family factors carry only the transposed layout LT (or the
+    # suffix-only panel tuple LTp for pallas_left); derive both dense
+    # orientations once here so every stage gets its native operand
+    if len(fac0.LTp):
+        nblk0 = len(fac0.LTp)
+        LT0 = jnp.concatenate(
+            [jnp.pad(p, ((0, 0), (0, 0), (kk * 128, 0)))
+             for kk, p in enumerate(fac0.LTp)], axis=1)
+        L0 = jnp.swapaxes(LT0, -1, -2)
+    else:
+        has_lt = fac0.LT.ndim >= 2
+        L0 = jnp.swapaxes(fac0.LT, -1, -2) if has_lt else fac0.L
+        LT0 = fac0.LT if has_lt else jnp.swapaxes(fac0.L, -1, -2)
 
     # --- stage definitions: (k) -> (jitted fn, operand tuple, sync) --------
     # Every stage fn takes (k static, *operands) — operands donated nothing,
@@ -152,7 +160,10 @@ def main() -> int:
             M = jax.vmap(lambda a, d: normal_eq.assemble(
                 a.astype(jnp.float32) if a.dtype != jnp.float32 else a,
                 d, opts.assembly_precision))(blp.A, d2)
-            return d2 + one * jnp.abs(M[:, 0, :1])
+            # FULL reduction of M: folding back a single element lets XLA
+            # slice-propagate away all but one row of the assembly (the
+            # r2 ledger's "assemble 4 ms" was measuring ~1/m of the work)
+            return d2 + one * jnp.mean(jnp.abs(M), axis=(1, 2))[:, None]
         return jax.lax.fori_loop(0, k, body, d2)
 
     @functools.partial(jax.jit, static_argnums=(0,))
@@ -160,7 +171,7 @@ def main() -> int:
         from ipx.kernels import cholesky as pk
 
         def body(_, r):
-            if opts.chol_backend in ("pallas", "pallas_left", "hybrid",
+            if opts.chol_backend in ("pallas", "hybrid",
                                      "blocked", "blocked_left"):
                 y = pk.chol_solve_batched_lt(LT, W, r)
             else:
@@ -168,6 +179,28 @@ def main() -> int:
                     (Lk, True), b))(L, r)
             return r + one * y
         return jax.lax.fori_loop(0, k, body, r)
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def run_precond_panels(k, fac, r):
+        from ipx.kernels import cholesky as pk
+
+        def body(_, r):
+            y = pk.chol_solve_batched_panels(fac.LTp, fac.W, r)
+            return r + one * y
+        return jax.lax.fori_loop(0, k, body, r)
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def run_panels_factor(k, Ms):
+        from ipx.kernels import cholesky as pk
+
+        def body(_, Ms):
+            panels, W = pk.factor_lt_panels(Ms)
+            used = jnp.mean(jnp.abs(W), axis=(1, 2, 3))
+            for p in panels:
+                used = used + jnp.mean(jnp.abs(p), axis=(1, 2))
+            return Ms + one * used[:, None, None]
+        out = jax.lax.fori_loop(0, k, body, Ms)
+        return jnp.diagonal(out, axis1=-2, axis2=-1)
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def run_ata(k, A, d2, v):
@@ -306,6 +339,8 @@ def main() -> int:
         "blocked_factor": (run_blocked_factor, (Ms0,), sync_arr),
         "pallas_factor": (run_pallas_factor, (Ms0,), sync_arr),
         "pallas_left_factor": (run_pallas_left_factor, (Ms0,), sync_arr),
+        "panels_factor": (run_panels_factor, (Ms0,), sync_arr),
+        "precond_panels": (run_precond_panels, (fac0, rhs_0), sync_arr),
         "cgchain": (run_cgchain,
                     (LT0, fac0.W, blp.A, fac0.d2, rhs_0), sync_arr),
         "precond_vmapped": (run_precond_vmapped, (fac0, rhs_0), sync_arr),

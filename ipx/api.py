@@ -347,11 +347,24 @@ def solve_large(c, A=None, b=None, mesh=None,
     assembled as distributed row panels (psum_scatter over ICI) and solved
     by block-Jacobi-preconditioned CG — M never exists on one chip.  See
     ipx/linsys/schur.py.
+
+    f32 ENDGAME (VERDICT r2 item 2): when the sharded normal-equations run
+    exits non-OPTIMAL (the m>=4k conditioning floor), the solve is retried
+    once, warm-started from the best iterate, on ``linsys="sharded_schur"``
+    — the quasi-definite augmented system reduced to a DISTRIBUTED m x m
+    Cholesky (capped scaling bounds the conditioning; refinement against
+    the true augmented operator removes the regularization) — the same
+    two-stage rescue the dense route uses, composed with the sharded
+    factor.  Disable with ``options.augmented_fallback=False`` or pick a
+    route explicitly with ``options.linsys="sharded"/"sharded_schur"``.
     """
     from ipx import mesh as meshlib
     from ipx.linsys import schur
+    from ipx.ipm.mehrotra import warm_start_state
 
-    opts = (options or DEFAULT_OPTIONS).replace(linsys="sharded")
+    opts = options or DEFAULT_OPTIONS
+    if opts.linsys not in ("sharded", "sharded_schur"):
+        opts = opts.replace(linsys="sharded")
     if isinstance(c, LP):
         lp = c
     else:
@@ -374,6 +387,19 @@ def solve_large(c, A=None, b=None, mesh=None,
     with schur.use_mesh(mesh):
         st = _run_single(lp, opts)
         jax.block_until_ready(st.x)
+        from ipx.status import Status
+        bad = int(st.status) in (int(Status.STALLED), int(Status.MAX_ITER),
+                                 int(Status.NUMERICAL_FAILURE))
+        if bad and opts.augmented_fallback and opts.linsys == "sharded":
+            # sharded augmented-Schur endgame, warm-started from the best
+            # iterate the normal-equations stage reached
+            sch = opts.replace(linsys="sharded_schur")
+            state0 = warm_start_state(lp, st.best_x, st.best_y, st.best_s,
+                                      sch)
+            st2 = _run_single_resumed(lp, sch, state0)
+            jax.block_until_ready(st2.x)
+            if float(st2.best_merit) < float(st.best_merit):
+                st = st2
     return _state_to_solution(lp, st)
 
 

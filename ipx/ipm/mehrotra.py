@@ -124,7 +124,8 @@ def mehrotra_step(lp: LP, state: IPMState, opts: SolverOptions,
     # augmented route exists to avoid (measured: flips 3/4 degenerate
     # instances from OPTIMAL to STALLED).
     do_project = (opts.project_feasibility
-                  and not opts.linsys.startswith("augmented"))
+                  and not opts.linsys.startswith("augmented")
+                  and opts.linsys != "sharded_schur")
 
     # --- factor A D^2 A^T once, reuse for both solves (R5, R6) -------------
     # d2 is deliberately NOT range-clipped: huge x/s entries (effectively
@@ -150,7 +151,7 @@ def mehrotra_step(lp: LP, state: IPMState, opts: SolverOptions,
         if opts.linsys == "augmented":
             from ipx.linsys import augmented
             return augmented.solve_newton(fac, A, x, s, e_p, e_d, e_xs, opts)
-        if opts.linsys == "augmented_schur":
+        if opts.linsys in ("augmented_schur", "sharded_schur"):
             from ipx.linsys import augmented
             return augmented.solve_newton_schur(fac, A, x, s, e_p, e_d,
                                                 e_xs, opts)
@@ -422,7 +423,7 @@ def mehrotra_step(lp: LP, state: IPMState, opts: SolverOptions,
     # iterations.  The augmented routes handle regularization inside the
     # quasi-definite system, so sticky is free there too.  Static
     # (trace-time) selection.
-    decay = (opts.reg_boost_decay if opts.linsys == "sharded"
+    decay = (opts.reg_boost_decay if opts.linsys.startswith("sharded")
              else opts.reg_boost_decay_dense)
     reg_floor = jnp.where(
         finite, state.reg_floor,

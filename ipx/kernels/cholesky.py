@@ -1030,6 +1030,311 @@ def _factor_lt_batched_vmap(axis_size, in_batched, M):
             (True, True))
 
 
+# ---------------------------------------------------------------------------
+# Panel-major factor: Mosaic accumulation kernels + XLA diagonal chains.
+#
+# Measured on the real chip (benchmarks/probe_diag_chain.py + the r3 stage
+# ledger): the monolithic left-looking kernel above is dominated by the
+# SEQUENTIAL diagonal-factor chain, which it runs once per (panel, chunk) —
+# at BF=4 that is 512 chains/factor at ~110us each (~55ms of its 65ms),
+# while the same chain amortized over the FULL batch at the XLA level costs
+# <~1ms per panel.  The fix is architectural: put each phase where it is
+# cheap.
+#
+#   per panel k (python loop at the XLA level):
+#     C_k = accum kernel(Ms, panels[0..k-1])   Mosaic: stream-subtract prior
+#                                              panels, VMEM-resident C,
+#                                              depth-1 stripe prefetch
+#     L_k, W_k = _factor_block_twolevel(C_k[:, :, :NB], mosaic=False)
+#                                              XLA: ONE chain for all B
+#     panels[k] = [L_k^T | W_k @ C_k[:, :, NB:]]    XLA batched MXU matmul
+#
+# Panels are SUFFIX-ONLY arrays (B, NB, m - k*NB) — no (B, m, m) buffer
+# exists anywhere, no dynamic_update_slice, and total factor storage/traffic
+# halves to sum_k NB*(m-o) = m(m+NB)/2.  The pair-solve kernel below reads
+# the same strict-suffix stripes directly from the panel tuple.
+# ---------------------------------------------------------------------------
+
+
+def _accum_panel_kernel(*refs, m: int, k: int, BF: int):
+    """Accumulate panel k's Schur row block over a batch chunk.
+
+        C = Ms[o:o+NB, o:] - sum_{j<k} P_j[:, o-j*NB : o-j*NB+NB]^T
+                                       @ P_j[:, o-j*NB:]
+
+    refs = (ms_hbm, p_hbm[0..k-1], c_hbm, C, P0, P1, sems); all panel
+    operands are suffix-only row panels; every slice is static and aligned
+    to the fresh DMA region, so no masking is needed.  Prior panels stream
+    with depth-1 prefetch into rolling slots.
+    """
+    ms_hbm = refs[0]
+    p_hbm = refs[1:1 + k]
+    c_hbm = refs[1 + k]
+    C, P0, P1, sems = refs[2 + k:]
+    o = k * NB
+    w = m - o                      # this panel's suffix width
+    b0 = pl.multiple_of(pl.program_id(0) * BF, BF)
+    Pb = (P0, P1)
+    cps = {}
+
+    def start_p(j):
+        # prior panel j's columns for [o:], i.e. its local suffix [o-j*NB:]
+        cp = pltpu.make_async_copy(
+            p_hbm[j].at[pl.ds(b0, BF), :, o - j * NB:],
+            Pb[j % 2].at[:, :, :], sems.at[j % 2])
+        cp.start()
+        cps[j] = cp
+
+    ld_m = pltpu.make_async_copy(
+        ms_hbm.at[pl.ds(b0, BF), o:o + NB, o:], C, sems.at[2])
+    ld_m.start()
+    if k > 0:
+        start_p(0)
+    ld_m.wait()
+    for j in range(k):
+        if j + 1 < k:
+            start_p(j + 1)
+        cps.pop(j).wait()
+        Pj = Pb[j % 2]
+        upd = _bmm(jnp.swapaxes(Pj[:, :, :NB], 1, 2), Pj[:])
+        C[:] = C[:] - upd
+    st = pltpu.make_async_copy(C, c_hbm.at[pl.ds(b0, BF)], sems.at[2])
+    st.start()
+    st.wait()
+
+
+def _accum_chunk(B: int, m: int, w: int) -> int:
+    """Largest divisor of B with 3 (BF, NB, w) stripes + one dot temporary
+    under ~11MB VMEM — narrower (later) panels get bigger chunks."""
+    per = 4 * NB * w * 4
+    cap = max(1, (11 << 20) // per)
+    bf = 1
+    for d in range(1, min(B, cap) + 1):
+        if B % d == 0:
+            bf = d
+    return bf
+
+
+def _accum_panel(Ms: jax.Array, panels: tuple, k: int):
+    """pallas_call wrapper for :func:`_accum_panel_kernel` (batched)."""
+    B, m, _ = Ms.shape
+    o = k * NB
+    w = m - o
+    BF = _accum_chunk(B, m, w)
+    kernel = functools.partial(_accum_panel_kernel, m=m, k=k, BF=BF)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // BF,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (1 + k),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((B, NB, w), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((BF, NB, w), jnp.float32),     # C accumulator
+            pltpu.VMEM((BF, NB, w), jnp.float32),     # P0 stream slot
+            pltpu.VMEM((BF, NB, w), jnp.float32),     # P1 stream slot
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        interpret=_interpret(),
+    )(Ms, *panels)
+
+
+@jax.custom_batching.custom_vmap
+def factor_lt_panels(M: jax.Array):
+    """Panel-major batched Cholesky: M (B, m, m) SPD ->
+    (panels, W) with panels a TUPLE of suffix-only transposed row panels
+    (panels[k]: (B, NB, m - k*NB), rows o..o+NB of L^T from the diagonal
+    on) and W (B, m/NB, NB, NB) the diag-block inverses.  Consumed by
+    :func:`chol_solve_batched_panels`.  vmap collapses into the batch axis.
+    """
+    B, m, m2 = M.shape
+    assert m == m2 and m % NB == 0, f"m={m} must be a multiple of {NB}"
+    nblk = m // NB
+    M = M.astype(jnp.float32)
+    panels = []
+    ws = []
+    for k in range(nblk):
+        o = k * NB
+        if k == 0:
+            C = M[:, :NB, :]
+        else:
+            C = _accum_panel(M, tuple(panels), k)
+        L_D, W_D = _factor_block_twolevel(C[:, :, :NB], mosaic=False)
+        ws.append(W_D)
+        LdT = jnp.swapaxes(L_D, 1, 2)
+        if o + NB < m:
+            Pt = _bmm(W_D, C[:, :, NB:])
+            panels.append(jnp.concatenate([LdT, Pt], axis=2))
+        else:
+            panels.append(LdT)
+    return tuple(panels), jnp.stack(ws, axis=1)
+
+
+@factor_lt_panels.def_vmap
+def _factor_lt_panels_vmap(axis_size, in_batched, M):
+    (mb,) = in_batched
+    if not mb:
+        M = jnp.broadcast_to(M[None], (axis_size, *M.shape))
+    V, B = M.shape[0], M.shape[1]
+    panels, W = factor_lt_panels(M.reshape(V * B, *M.shape[2:]))
+    panels = tuple(p.reshape(V, B, *p.shape[1:]) for p in panels)
+    W = W.reshape(V, B, *W.shape[1:])
+    return ((panels, W),
+            (tuple(True for _ in panels), True))
+
+
+def _solve_pair_panels_kernel(*refs, m: int, B: int, BC: int):
+    """The pipelined fused pair-solve (see :func:`_solve_pair_lt_kernel_db`)
+    reading its strict-suffix stripes from the SUFFIX-ONLY panel tuple of
+    :func:`factor_lt_panels` instead of a (B, m, m) LT buffer.  Identical
+    schedule and algebra; only the stripe DMA source indexing differs
+    (panel k's strict suffix is its local columns [NB:])."""
+    p_hbm = refs[:m // NB]
+    w_hbm, b_hbm, x_hbm, S0, S1, W0, W1, rv0, rv1, xv, sems = refs[m // NB:]
+    nblk = m // NB
+    cols_r = jax.lax.broadcasted_iota(jnp.int32, (1, 1, m), 2)
+    Sb = (S0, S1)
+    Wb = (W0, W1)
+    rvb = (rv0, rv1)
+    nchunks = B // BC
+    cps = {}
+
+    def start_s(c, k):
+        o = k * NB
+        cp = pltpu.make_async_copy(
+            p_hbm[k].at[c * BC:(c + 1) * BC, :, NB:],
+            Sb[k % 2].at[:, :, o + NB:], sems.at[k % 2])
+        cp.start()
+        cps[("s", c, k)] = cp
+
+    def start_w(c, k):
+        cp = pltpu.make_async_copy(
+            w_hbm.at[c * BC:(c + 1) * BC, k], Wb[k % 2], sems.at[2 + k % 2])
+        cp.start()
+        cps[("w", c, k)] = cp
+
+    def start_b(c):
+        cp = pltpu.make_async_copy(
+            b_hbm.at[c * BC:(c + 1) * BC], rvb[c % 2], sems.at[4 + c % 2])
+        cp.start()
+        cps[("b", c)] = cp
+
+    def start_x(c):
+        cp = pltpu.make_async_copy(
+            xv, x_hbm.at[c * BC:(c + 1) * BC], sems.at[6])
+        cp.start()
+        cps[("x", c)] = cp
+
+    def wait(*key):
+        cps.pop(key).wait()
+
+    start_b(0)
+    start_w(0, 0)
+    if nblk > 1:
+        start_s(0, 0)
+
+    for c in range(nchunks):
+        rv = rvb[c % 2]
+        wait("b", c)
+        for k in range(nblk):
+            o = k * NB
+            if k + 1 < nblk:
+                start_w(c, k + 1)
+                if k + 1 < nblk - 1:
+                    start_s(c, k + 1)
+            wait("w", c, k)
+            yk = _bmv2(Wb[k % 2][:], rv[:, o:o + NB])
+            rv[:, o:o + NB] = yk
+            if k < nblk - 1:
+                wait("s", c, k)
+                masked = jnp.where(cols_r >= o + NB, Sb[k % 2][:], 0.0)
+                upd = jax.lax.dot_general(
+                    yk[:, None, :], masked, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                    precision=_HP)[:, 0, :]
+                rv[:] = rv[:] - upd
+        if c + 1 < nchunks:
+            start_b(c + 1)
+        if c > 0:
+            wait("x", c - 1)
+        xv[:] = jnp.zeros((BC, m), jnp.float32)
+        for k in range(nblk - 1, -1, -1):
+            o = k * NB
+            if 0 <= k - 1 <= nblk - 3:
+                start_s(c, k - 1)
+            if k <= nblk - 2:
+                if k < nblk - 2:
+                    wait("s", c, k)
+                masked = jnp.where(cols_r >= o + NB, Sb[k % 2][:], 0.0)
+                r = rv[:, o:o + NB] - _bmv2(masked, xv[:])
+            else:
+                r = rv[:, o:o + NB]
+            if k < nblk - 2:
+                wait("w", c, k)
+            WbT = jnp.swapaxes(Wb[k % 2][:], 1, 2)
+            xv[:, o:o + NB] = _bmv2(WbT, r)
+            if k - 2 >= 0:
+                start_w(c, k - 2)
+        start_x(c)
+        if c + 1 < nchunks:
+            start_w(c + 1, 0)
+            if nblk > 1:
+                start_s(c + 1, 0)
+    wait("x", nchunks - 1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _chol_solve_panels_impl(panels, W, b, interpret: bool | None = None):
+    if interpret is None:
+        interpret = _interpret()
+    B, _, m = panels[0].shape
+    BC = _solve_chunk_db(B, m)
+    kernel = functools.partial(_solve_pair_panels_kernel, m=m, B=B, BC=BC)
+    scratch = [
+        pltpu.VMEM((BC, NB, m), jnp.float32),    # S0
+        pltpu.VMEM((BC, NB, m), jnp.float32),    # S1
+        pltpu.VMEM((BC, NB, NB), jnp.float32),   # W0
+        pltpu.VMEM((BC, NB, NB), jnp.float32),   # W1
+        pltpu.VMEM((BC, m), jnp.float32),        # rv0
+        pltpu.VMEM((BC, m), jnp.float32),        # rv1
+        pltpu.VMEM((BC, m), jnp.float32),        # xv
+        pltpu.SemaphoreType.DMA((7,)),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (len(panels) + 2),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((B, m), jnp.float32),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*panels, W, b.astype(jnp.float32))
+
+
+@jax.custom_batching.custom_vmap
+def chol_solve_batched_panels(panels, W, b):
+    """Solve (L L^T) x = b from the suffix-only panel tuple of
+    :func:`factor_lt_panels` — the pipelined pair-solve kernel reading the
+    panels directly (no stacked LT is ever materialized)."""
+    return _chol_solve_panels_impl(tuple(panels), W, b)
+
+
+@chol_solve_batched_panels.def_vmap
+def _chol_solve_batched_panels_vmap(axis_size, in_batched, panels, W, b):
+    pb, wb, bb = in_batched
+    panels = tuple(
+        p if bt else jnp.broadcast_to(p[None], (axis_size, *p.shape))
+        for p, bt in zip(panels, pb))
+    if not wb:
+        W = jnp.broadcast_to(W[None], (axis_size, *W.shape))
+    if not bb:
+        b = jnp.broadcast_to(b[None], (axis_size, *b.shape))
+    V, B = W.shape[0], W.shape[1]
+    x = chol_solve_batched_panels(
+        tuple(p.reshape(V * B, *p.shape[2:]) for p in panels),
+        W.reshape(V * B, *W.shape[2:]), b.reshape(V * B, *b.shape[2:]))
+    return x.reshape(V, B, *x.shape[1:]), True
+
+
 # --- single-instance conveniences (used by normal_eq under vmap) -----------
 
 def cholesky(M: jax.Array):

@@ -134,6 +134,17 @@ class AugSchurFactor:
     ok: jax.Array
 
 
+def _inner_linsys(opts: SolverOptions) -> str:
+    """The route the REDUCED m x m system runs on: the batched dense
+    Cholesky machinery for "augmented_schur", the distributed Schur layer
+    (ipx/linsys/schur.py) for "sharded_schur" — the config-4 ENDGAME
+    composition (VERDICT r2 item 2): same capped quasi-definite scaling +
+    true-operator refinement, but the reduced matrix is assembled as
+    psum_scatter'd row panels and factored by the distributed blocked
+    Cholesky, so m never has to fit one chip."""
+    return "sharded" if opts.linsys == "sharded_schur" else "dense"
+
+
 def factor_schur(A: jax.Array, d2: jax.Array, opts: SolverOptions,
                  reg_scale=1.0) -> AugSchurFactor:
     from ipx.linsys import normal_eq
@@ -145,7 +156,7 @@ def factor_schur(A: jax.Array, d2: jax.Array, opts: SolverOptions,
     # (opts.reg): the capped d2p already bounds the conditioning, and a
     # large inner reg was measured to cripple the inner PCG (stall at
     # ~2e-5 instead of the contract 1e-6)
-    ne_opts = opts.replace(linsys="dense")
+    ne_opts = opts.replace(linsys=_inner_linsys(opts))
     ne = normal_eq.factor(A, d2p, ne_opts, reg_scale=reg_scale)
     return AugSchurFactor(ne=ne, d2p=d2p, d2=d2, ok=ne.ok)
 
@@ -154,7 +165,7 @@ def _schur_apply(fac: AugSchurFactor, A, r1, r2, opts: SolverOptions):
     """One pass through the reduced system for rhs (r1, r2)."""
     from ipx.linsys import normal_eq
     prec = opts.matmul_precision
-    ne_opts = opts.replace(linsys="dense")
+    ne_opts = opts.replace(linsys=_inner_linsys(opts))
     dy = normal_eq.solve(fac.ne, A, r2 + mv(A, fac.d2p * r1, prec), ne_opts)
     dx = fac.d2p * (mv(A.T, dy, prec) - r1)
     return dx, dy

@@ -59,6 +59,11 @@ class NormalEqFactor:
                         # streams (4x less HBM traffic; the OUTER kkt
                         # refinement in mehrotra.py still uses the true A at
                         # HIGHEST precision, so final accuracy is unaffected)
+    LTp: tuple = ()     # pallas_left: SUFFIX-ONLY transposed row panels
+                        # (LTp[k]: (128, m_pad - 128k), rows k*128..(k+1)*128
+                        # of L^T from the diagonal on) — the panel-major
+                        # factor layout (kernels/cholesky.factor_lt_panels);
+                        # total storage m(m+128)/2, no (m, m) buffer exists
 
 
 def _mm_split3_vs_bf16(W: jax.Array, Abf_t: jax.Array):
@@ -104,30 +109,55 @@ def assemble(A: jax.Array, d2: jax.Array, precision: str = "highest"):
     m = A.shape[0]
     split3 = A.dtype == jnp.bfloat16 and precision == "highest"
 
-    def blk_mm(rows_a, rows_b):
-        # rows_a, rows_b: row blocks of A (storage dtype)
-        W = rows_a.astype(jnp.float32) * d2[None, :]
+    if split3:
+        # Pre-split the f32 operand W = A*d2 into its three exact bf16
+        # terms ONCE for the whole matrix (bf16 rounding is elementwise, so
+        # row slices of the splits are bit-identical to splitting each row
+        # block separately).  The r2 version re-ran the scale+round+subtract
+        # chain inside every block product of the recursion — measured at
+        # B=256 the stage sat at 27.2ms vs its ~9ms MXU floor, with the
+        # repeated VPU splitting a main overhead.
+        W = A.astype(jnp.float32) * d2[None, :]
+        hs = []
+        for _ in range(3):
+            h = W.astype(jnp.bfloat16)
+            W = W - h.astype(jnp.float32)
+            hs.append(h)
+
+    def blk_mm(alo, ahi, blo, bhi):
+        # product of row blocks  (A*d2)[alo:ahi] @ A[blo:bhi].T  — expressed
+        # as a dim-1 contraction so no transposed copy is ever materialized
         if split3:
-            return _mm_split3_vs_bf16(W, rows_b.T)
-        return mm(W, rows_b.astype(jnp.float32).T, precision)
+            out = None
+            for h in hs:
+                p = jax.lax.dot_general(h[alo:ahi], A[blo:bhi],
+                                        (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                out = p if out is None else out + p
+            return out
+        from ipx.numerics import precision_of
+        Wb = A[alo:ahi].astype(jnp.float32) * d2[None, :]
+        return jax.lax.dot_general(
+            Wb, A[blo:bhi].astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision_of(precision))
 
     if m < 256:
-        M = blk_mm(A, A)
+        M = blk_mm(0, m, 0, m)
         return 0.5 * (M + M.T)
 
-    def sym(rows):
-        r = rows.shape[0]
+    def sym(lo, hi):
+        r = hi - lo
         if r <= 128:
-            Mr = blk_mm(rows, rows)
+            Mr = blk_mm(lo, hi, lo, hi)
             return 0.5 * (Mr + Mr.T)
         h = r // 2
-        top, bot = rows[:h], rows[h:]
-        C11 = sym(top)
-        C22 = sym(bot)
-        C21 = blk_mm(bot, top)
+        C11 = sym(lo, lo + h)
+        C22 = sym(lo + h, hi)
+        C21 = blk_mm(lo + h, hi, lo, lo + h)
         return jnp.block([[C11, C21.T], [C21, C22]])
 
-    return sym(A)
+    return sym(0, m)
 
 
 def factor(A: jax.Array, d2: jax.Array, opts: SolverOptions,
@@ -150,7 +180,7 @@ def factor(A: jax.Array, d2: jax.Array, opts: SolverOptions,
     if opts.linsys == "augmented":
         from ipx.linsys import augmented
         return augmented.factor(A, d2, opts, reg_scale)
-    if opts.linsys == "augmented_schur":
+    if opts.linsys in ("augmented_schur", "sharded_schur"):
         from ipx.linsys import augmented
         return augmented.factor_schur(A, d2, opts, reg_scale)
     M = assemble(A, d2, opts.assembly_precision)
@@ -177,12 +207,23 @@ def factor(A: jax.Array, d2: jax.Array, opts: SolverOptions,
         else:
             Mp = Ms
         if opts.chol_backend == "pallas_left":
-            # the kernel-resident left-looking factor: emits the transposed
-            # layout + diag-block inverses in ONE Mosaic kernel with
-            # VMEM-resident panels (see kernels/cholesky._factor_lt_kernel)
-            LT1, W1 = pk.factor_lt_batched(Mp[None].astype(jnp.float32))
-            LT, W = LT1[0], W1[0]
-        elif opts.chol_backend == "blocked_left":
+            # panel-major factor: Mosaic stream-accumulate kernels + XLA
+            # full-batch diagonal chains, suffix-only panel outputs
+            # (kernels/cholesky.factor_lt_panels)
+            panels1, W1 = pk.factor_lt_panels(Mp[None].astype(jnp.float32))
+            LTp = tuple(p[0] for p in panels1)
+            W = W1[0]
+            LT = jnp.zeros((0,), Ms.dtype)
+            L = jnp.zeros((0,), Ms.dtype)
+            ldiag = jnp.concatenate(
+                [jnp.diagonal(p[:, :pk.NB]) for p in LTp])
+            ok = (jnp.all(jnp.isfinite(ldiag)) & jnp.all(ldiag > 0)
+                  & jnp.all(jnp.isfinite(j)))
+            M_op = M if opts.cg_operator == "assembled" else jnp.zeros(
+                (0,), M.dtype)
+            return NormalEqFactor(L=L, j=j, d2=d2, ok=ok, W=W, M=M_op,
+                                  LT=LT, LTp=LTp)
+        if opts.chol_backend == "blocked_left":
             # the production factor: emits the transposed layout directly
             LT, W = _blocked_potrf_left(Mp.astype(jnp.float32), pk.NB)
         else:
@@ -389,8 +430,15 @@ def use_fused_matvec(opts: SolverOptions, A: jax.Array) -> bool:
 
 
 def _chol_solve(fac: NormalEqFactor, rhs: jax.Array, backend: str) -> jax.Array:
-    if backend in ("pallas", "pallas_left", "hybrid", "blocked",
-                   "blocked_left"):
+    if backend == "pallas_left":
+        from ipx.kernels import cholesky as pk
+        m = rhs.shape[-1]
+        m_pad = fac.LTp[0].shape[-1]
+        r = rhs if m_pad == m else jnp.zeros((m_pad,), rhs.dtype).at[:m].set(rhs)
+        y = pk.chol_solve_batched_panels(
+            tuple(p[None] for p in fac.LTp), fac.W[None], r[None])[0]
+        return y[:m]
+    if backend in ("pallas", "hybrid", "blocked", "blocked_left"):
         from ipx.kernels import cholesky as pk
         m = rhs.shape[-1]
         m_pad = fac.LT.shape[-1]
@@ -422,7 +470,7 @@ def solve(fac: NormalEqFactor, A: jax.Array, rhs: jax.Array,
     if opts.linsys == "augmented":
         from ipx.linsys import augmented
         return augmented.normal_solve(fac, A, rhs, opts)
-    if opts.linsys == "augmented_schur":
+    if opts.linsys in ("augmented_schur", "sharded_schur"):
         from ipx.linsys import augmented
         return augmented.normal_solve_schur(fac, A, rhs, opts)
 

