@@ -1335,6 +1335,317 @@ def _chol_solve_batched_panels_vmap(axis_size, in_batched, panels, W, b):
     return x.reshape(V, B, *x.shape[1:]), True
 
 
+# ---------------------------------------------------------------------------
+# Symmetric normal-matrix assembly kernel:  M = (A * d2) @ A^T  for bf16 A.
+#
+# The XLA route (normal_eq.assemble) measured 27.2ms at B=256/m=1024/n=2048
+# against a ~9.4ms MXU floor: the block-recursive symmetric form pays
+# per-level materialization (jnp.block) and operand staging.  Here one grid
+# program per instance holds THE WHOLE bf16 A in VMEM (m*n*2 = 4MB at the
+# contract shape) plus the f32 output M (4MB): each 128-row block is
+# split3-decomposed once in registers, every lower-triangle 128x128 tile is
+# three bf16 MXU passes, and the mirror writes the transpose — HBM traffic
+# is exactly A once in, M once out.
+# ---------------------------------------------------------------------------
+
+
+def _assemble_sym_kernel(a_hbm, d2_hbm, m_hbm, Ab, d2b, Mb, h1, h2, h3,
+                         sems, *, m: int, n: int):
+    i = pl.program_id(0)
+    ld_a = pltpu.make_async_copy(a_hbm.at[i], Ab, sems.at[0])
+    ld_d = pltpu.make_async_copy(d2_hbm.at[i], d2b, sems.at[1])
+    ld_a.start()
+    ld_d.start()
+    ld_a.wait()
+    ld_d.wait()
+    nb = m // NB
+    hs = (h1, h2, h3)
+    for bi in range(nb):
+        # split3 of this row block's f32 (A * d2) operand, in registers:
+        # exact bf16 terms, products accumulate exactly in f32 (same
+        # algebra as normal_eq.assemble's blk_mm)
+        W = Ab[bi * NB:(bi + 1) * NB, :].astype(jnp.float32) * d2b[:]
+        for h in hs:
+            t = W.astype(jnp.bfloat16)
+            W = W - t.astype(jnp.float32)
+            h[:] = t
+        for bj in range(bi + 1):
+            cols = Ab[bj * NB:(bj + 1) * NB, :]
+            acc = None
+            for h in hs:
+                p = jax.lax.dot_general(h[:], cols, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                acc = p if acc is None else acc + p
+            if bi == bj:
+                acc = 0.5 * (acc + acc.T)
+                Mb[bi * NB:(bi + 1) * NB, bj * NB:(bj + 1) * NB] = acc
+            else:
+                Mb[bi * NB:(bi + 1) * NB, bj * NB:(bj + 1) * NB] = acc
+                Mb[bj * NB:(bj + 1) * NB, bi * NB:(bi + 1) * NB] = acc.T
+    st = pltpu.make_async_copy(Mb, m_hbm.at[i], sems.at[0])
+    st.start()
+    st.wait()
+
+
+def assemble_fits_kernel(m: int, n: int, a_itemsize: int) -> bool:
+    """Shape gate for :func:`assemble_sym_batched`: whole-A residency."""
+    if m % NB or n % NB:
+        return False
+    vmem = m * n * a_itemsize + m * m * 4 + 3 * NB * n * 2 + NB * n * 4
+    return vmem <= (13 << 20)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _assemble_sym_impl(A, d2, interpret: bool | None = None):
+    if interpret is None:
+        interpret = _interpret()
+    B, m, n = A.shape
+    kernel = functools.partial(_assemble_sym_kernel, m=m, n=n)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((B, m, m), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((m, n), jnp.bfloat16),        # Ab: whole A resident
+            pltpu.VMEM((1, n), jnp.float32),          # d2b
+            pltpu.VMEM((m, m), jnp.float32),          # Mb: whole M resident
+            pltpu.VMEM((NB, n), jnp.bfloat16),        # h1
+            pltpu.VMEM((NB, n), jnp.bfloat16),        # h2
+            pltpu.VMEM((NB, n), jnp.bfloat16),        # h3
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(A, d2[:, None, :])
+
+
+@jax.custom_batching.custom_vmap
+def assemble_sym_batched(A: jax.Array, d2: jax.Array):
+    """Batched symmetric assembly  M[b] = (A[b] * d2[b]) @ A[b]^T  for
+    bf16-stored A at f32-faithful accuracy (in-kernel split3).  Gate
+    eligibility with :func:`assemble_fits_kernel`."""
+    return _assemble_sym_impl(A, d2)
+
+
+@assemble_sym_batched.def_vmap
+def _assemble_sym_batched_vmap(axis_size, in_batched, A, d2):
+    ab, db = in_batched
+    if not ab:
+        A = jnp.broadcast_to(A[None], (axis_size, *A.shape))
+    if not db:
+        d2 = jnp.broadcast_to(d2[None], (axis_size, *d2.shape))
+    V, B = A.shape[0], A.shape[1]
+    M = assemble_sym_batched(A.reshape(V * B, *A.shape[2:]),
+                             d2.reshape(V * B, *d2.shape[2:]))
+    return M.reshape(V, B, *M.shape[1:]), True
+
+
+# ---------------------------------------------------------------------------
+# FUSED assembly + panel accumulation: the normal matrix never materializes.
+#
+# The two ~28ms stages at B=256 (XLA/Mosaic assembly of M, then the panel
+# factor's accumulation reading M back) collapse into one kernel per panel:
+#
+#   C_k = J_r (A[o:o+NB] * d2) @ A[o:]^T J_c + reg I|diag
+#         - sum_{j<k} P_j[:, :NB]^T @ P_j[:, local o:]
+#
+# assembled tile-by-tile from the bf16-stored A (in-register split3 of the
+# f32 row operand, three bf16 MXU passes per tile — f32-faithful), with the
+# Jacobi scaling applied as a row scale on the split operand and a column
+# scale on each tile.  HBM traffic for the whole factor becomes: A row
+# blocks streamed (sum_k (m-o) rows), prior panels streamed, C written once
+# — the 8MB/instance M write+read disappears entirely.
+# ---------------------------------------------------------------------------
+
+
+def _fused_panel_kernel(*refs, m: int, n: int, k: int, BF: int):
+    """refs = (a_hbm, d2_hbm, j_hbm, reg_hbm, p_hbm[0..k-1], c_hbm,
+               Ar, A0, A1, h1, h2, h3, d2b, jb, regb, C, P0, P1, sems)."""
+    a_hbm, d2_hbm, j_hbm, reg_hbm = refs[:4]
+    p_hbm = refs[4:4 + k]
+    c_hbm = refs[4 + k]
+    (Ar, A0, A1, h1, h2, h3, d2b, jb, regb, C, P0, P1, sems) = refs[5 + k:]
+    o = k * NB
+    nb = m // NB
+    b0 = pl.multiple_of(pl.program_id(0) * BF, BF)
+    Ab = (A0, A1)
+    Pb = (P0, P1)
+    hs = (h1, h2, h3)
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (1, NB, NB), 1)
+           == jax.lax.broadcasted_iota(jnp.int32, (1, NB, NB), 2))
+    cps = {}
+
+    def start_a(t):
+        cp = pltpu.make_async_copy(
+            a_hbm.at[pl.ds(b0, BF), t * NB:(t + 1) * NB, :],
+            Ab[t % 2], sems.at[t % 2])
+        cp.start()
+        cps[("a", t)] = cp
+
+    def start_p(jj):
+        cp = pltpu.make_async_copy(
+            p_hbm[jj].at[pl.ds(b0, BF), :, o - jj * NB:],
+            Pb[jj % 2], sems.at[2 + jj % 2])
+        cp.start()
+        cps[("p", jj)] = cp
+
+    # --- operand loads: A row block k, d2, j --------------------------------
+    ld_r = pltpu.make_async_copy(
+        a_hbm.at[pl.ds(b0, BF), o:o + NB, :], Ar, sems.at[4])
+    ld_d = pltpu.make_async_copy(d2_hbm.at[pl.ds(b0, BF)], d2b, sems.at[5])
+    ld_j = pltpu.make_async_copy(j_hbm.at[pl.ds(b0, BF)], jb, sems.at[6])
+    ld_g = pltpu.make_async_copy(reg_hbm.at[pl.ds(b0, BF)], regb, sems.at[2])
+    ld_r.start()
+    ld_d.start()
+    ld_j.start()
+    ld_g.start()
+    ld_r.wait()
+    ld_d.wait()
+    ld_j.wait()
+    ld_g.wait()
+    # --- split3 of the scaled f32 row operand, in registers ----------------
+    jr = jb[:, o:o + NB]
+    W = (Ar[:].astype(jnp.float32) * d2b[:]) * jr[:, :, None]
+    for h in hs:
+        t_ = W.astype(jnp.bfloat16)
+        W = W - t_.astype(jnp.float32)
+        h[:] = t_
+    # --- assembly sweep over column blocks t = k..nb-1 ----------------------
+    start_a(k)
+    for t in range(k, nb):
+        if t + 1 < nb:
+            start_a(t + 1)
+        cps.pop(("a", t)).wait()
+        At = Ab[t % 2]
+        acc = None
+        for h in hs:
+            p = jax.lax.dot_general(h[:], At[:],
+                                    (((2,), (2,)), ((0,), (0,))),
+                                    preferred_element_type=jnp.float32)
+            acc = p if acc is None else acc + p
+        jc = jb[:, t * NB:(t + 1) * NB]
+        acc = acc * jc[:, None, :]
+        if t == k:
+            # per-instance Tikhonov reg on the diagonal block: regb is the
+            # (BF, NB) column-replicated reg vector, masked to the diagonal
+            acc = acc + eye.astype(jnp.float32) * regb[:][:, None, :]
+        C[:, :, (t - k) * NB:(t - k + 1) * NB] = acc
+    # --- subtract prior panels (depth-1 prefetch) ---------------------------
+    if k > 0:
+        start_p(0)
+    for jj in range(k):
+        if jj + 1 < k:
+            start_p(jj + 1)
+        cps.pop(("p", jj)).wait()
+        Pj = Pb[jj % 2]
+        upd = _bmm(jnp.swapaxes(Pj[:, :, :NB], 1, 2), Pj[:])
+        C[:] = C[:] - upd
+    st = pltpu.make_async_copy(C, c_hbm.at[pl.ds(b0, BF)], sems.at[4])
+    st.start()
+    st.wait()
+
+
+def _fused_chunk(B: int, m: int, n: int, w: int) -> int:
+    """Largest divisor of B whose fused-panel working set fits ~11MB:
+    A row blocks (1 resident + 2 stream slots + 3 bf16 splits, each
+    (BF, NB, n)), the (BF, NB, w) accumulator + 2 prior-panel stream slots,
+    and the j/d2 vectors."""
+    per = (3 * NB * n * 2            # Ar + A0 + A1 (bf16)
+           + 3 * NB * n * 2          # h1..h3 (bf16)
+           + NB * n * 4              # split temporary W (f32)
+           + 3 * NB * w * 4          # C + P0 + P1 (f32)
+           + (m + n) * 4)
+    cap = max(1, (11 << 20) // per)
+    bf = 1
+    for d in range(1, min(B, cap) + 1):
+        if B % d == 0:
+            bf = d
+    return bf
+
+
+def _fused_panel(A, d2r, jr, reg, panels: tuple, k: int):
+    """pallas_call wrapper for :func:`_fused_panel_kernel` (batched)."""
+    B, m, n = A.shape
+    o = k * NB
+    w = m - o
+    BF = _fused_chunk(B, m, n, w)
+    kernel = functools.partial(_fused_panel_kernel, m=m, n=n, k=k, BF=BF)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // BF,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (4 + k),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((B, NB, w), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((BF, NB, n), jnp.bfloat16),    # Ar: row block k
+            pltpu.VMEM((BF, NB, n), jnp.bfloat16),    # A0: column stream
+            pltpu.VMEM((BF, NB, n), jnp.bfloat16),    # A1
+            pltpu.VMEM((BF, NB, n), jnp.bfloat16),    # h1
+            pltpu.VMEM((BF, NB, n), jnp.bfloat16),    # h2
+            pltpu.VMEM((BF, NB, n), jnp.bfloat16),    # h3
+            pltpu.VMEM((BF, 1, n), jnp.float32),      # d2b
+            pltpu.VMEM((BF, m), jnp.float32),         # jb
+            pltpu.VMEM((BF, NB), jnp.float32),        # regb
+            pltpu.VMEM((BF, NB, w), jnp.float32),     # C accumulator
+            pltpu.VMEM((BF, NB, w), jnp.float32),     # P0 prior stream
+            pltpu.VMEM((BF, NB, w), jnp.float32),     # P1
+            pltpu.SemaphoreType.DMA((7,)),
+        ],
+        interpret=_interpret(),
+    )(A, d2r, jr, reg, *panels)
+
+
+def fused_factor_fits(m: int, n: int, a_dtype) -> bool:
+    """Eligibility for :func:`factor_fused_panels`: bf16 A, 128-aligned."""
+    return a_dtype == jnp.bfloat16 and m % NB == 0 and n % NB == 0
+
+
+@jax.custom_batching.custom_vmap
+def factor_fused_panels(A: jax.Array, d2: jax.Array, j: jax.Array,
+                        reg: jax.Array):
+    """Fused assemble+factor: A (B, m, n) bf16, d2 (B, n), j (B, m) the
+    Jacobi scale, reg (B,) the (already reg_scale-multiplied) Tikhonov
+    term -> (panels, W) of the scaled regularized normal matrix, in the
+    same layout as :func:`factor_lt_panels`."""
+    B, m, n = A.shape
+    nblk = m // NB
+    d2r = d2[:, None, :].astype(jnp.float32)
+    jr = j.astype(jnp.float32)
+    # per-instance reg (reg_boost differs across a solve batch), replicated
+    # across NB columns so the kernel's diagonal add is a clean 2D slice
+    regv = jnp.broadcast_to(jnp.reshape(reg, (B, 1)).astype(jnp.float32),
+                            (B, NB))
+    panels = []
+    ws = []
+    for k in range(nblk):
+        C = _fused_panel(A, d2r, jr, regv, tuple(panels), k)
+        L_D, W_D = _factor_block_twolevel(C[:, :, :NB], mosaic=False)
+        ws.append(W_D)
+        LdT = jnp.swapaxes(L_D, 1, 2)
+        if (k + 1) * NB < m:
+            Pt = _bmm(W_D, C[:, :, NB:])
+            panels.append(jnp.concatenate([LdT, Pt], axis=2))
+        else:
+            panels.append(LdT)
+    return tuple(panels), jnp.stack(ws, axis=1)
+
+
+@factor_fused_panels.def_vmap
+def _factor_fused_panels_vmap(axis_size, in_batched, A, d2, j, reg):
+    ops = [A, d2, j, reg]
+    ops = [o if bt else jnp.broadcast_to(o[None], (axis_size, *o.shape))
+           for o, bt in zip(ops, in_batched)]
+    A, d2, j, reg = ops
+    V, B = A.shape[0], A.shape[1]
+    panels, W = factor_fused_panels(
+        A.reshape(V * B, *A.shape[2:]), d2.reshape(V * B, *d2.shape[2:]),
+        j.reshape(V * B, *j.shape[2:]), reg.reshape(V * B))
+    panels = tuple(p.reshape(V, B, *p.shape[1:]) for p in panels)
+    return ((panels, W.reshape(V, B, *W.shape[1:])),
+            (tuple(True for _ in panels), True))
+
+
 # --- single-instance conveniences (used by normal_eq under vmap) -----------
 
 def cholesky(M: jax.Array):

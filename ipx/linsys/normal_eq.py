@@ -110,27 +110,27 @@ def assemble(A: jax.Array, d2: jax.Array, precision: str = "highest"):
     split3 = A.dtype == jnp.bfloat16 and precision == "highest"
 
     if split3:
-        # Pre-split the f32 operand W = A*d2 into its three exact bf16
-        # terms ONCE for the whole matrix (bf16 rounding is elementwise, so
-        # row slices of the splits are bit-identical to splitting each row
-        # block separately).  The r2 version re-ran the scale+round+subtract
-        # chain inside every block product of the recursion — measured at
-        # B=256 the stage sat at 27.2ms vs its ~9ms MXU floor, with the
-        # repeated VPU splitting a main overhead.
-        W = A.astype(jnp.float32) * d2[None, :]
-        hs = []
-        for _ in range(3):
-            h = W.astype(jnp.bfloat16)
-            W = W - h.astype(jnp.float32)
-            hs.append(h)
+        from ipx.kernels import cholesky as pk
+        if pk.assemble_fits_kernel(m, A.shape[1], A.dtype.itemsize):
+            # whole-A-resident Mosaic tile kernel: HBM traffic is exactly
+            # A in + M out; in-register split3 per row block
+            return pk.assemble_sym_batched(A[None], d2[None])[0]
 
     def blk_mm(alo, ahi, blo, bhi):
-        # product of row blocks  (A*d2)[alo:ahi] @ A[blo:bhi].T  — expressed
-        # as a dim-1 contraction so no transposed copy is ever materialized
+        # Product of row blocks  (A*d2)[alo:ahi] @ A[blo:bhi].T  — expressed
+        # as a dim-1 contraction so no transposed copy is ever materialized.
+        # The split3 scale/round/subtract chain runs PER BLOCK on purpose: a
+        # whole-matrix pre-split was tried in r3 and measured SLOWER (39.4
+        # vs 27.2 ms at B=256) — the f32 residual chain of the full (m, n)
+        # operand round-trips HBM three times, while the per-block chain
+        # fuses into each product's operand pipeline.
         if split3:
+            Wb = A[alo:ahi].astype(jnp.float32) * d2[None, :]
             out = None
-            for h in hs:
-                p = jax.lax.dot_general(h[alo:ahi], A[blo:bhi],
+            for _ in range(3):
+                h = Wb.astype(jnp.bfloat16)
+                Wb = Wb - h.astype(jnp.float32)
+                p = jax.lax.dot_general(h, A[blo:bhi],
                                         (((1,), (1,)), ((), ())),
                                         preferred_element_type=jnp.float32)
                 out = p if out is None else out + p
@@ -183,6 +183,33 @@ def factor(A: jax.Array, d2: jax.Array, opts: SolverOptions,
     if opts.linsys in ("augmented_schur", "sharded_schur"):
         from ipx.linsys import augmented
         return augmented.factor_schur(A, d2, opts, reg_scale)
+    if opts.chol_backend == "pallas_left" and opts.cg_operator != "assembled":
+        from ipx.kernels import cholesky as pk
+        if (pk.fused_factor_fits(A.shape[0], A.shape[1], A.dtype)
+                and opts.assembly_precision == "highest"):
+            # FUSED assemble+factor: the scaled regularized normal matrix is
+            # assembled panel-by-panel from the bf16 A inside the factor
+            # kernels and never materializes (kernels/cholesky.py).  The
+            # Jacobi scale comes from diag(M) = (A∘A) @ d2 — one matvec.
+            m_ = A.shape[0]
+            diag = mv(jnp.square(A.astype(jnp.float32)), d2,
+                      opts.matmul_precision)
+            tiny_ = jnp.asarray(jnp.finfo(jnp.float32).tiny, jnp.float32)
+            j = jax.lax.rsqrt(jnp.maximum(diag, tiny_))
+            reg = (jnp.asarray(opts.reg, jnp.float32)
+                   * jnp.asarray(reg_scale, jnp.float32))
+            panels1, W1 = pk.factor_fused_panels(
+                A[None], d2[None].astype(jnp.float32), j[None],
+                jnp.reshape(reg, (1,)))
+            LTp = tuple(p[0] for p in panels1)
+            W = W1[0]
+            zero = jnp.zeros((0,), jnp.float32)
+            ldiag = jnp.concatenate(
+                [jnp.diagonal(p[:, :pk.NB]) for p in LTp])
+            ok = (jnp.all(jnp.isfinite(ldiag)) & jnp.all(ldiag > 0)
+                  & jnp.all(jnp.isfinite(j)))
+            return NormalEqFactor(L=zero, j=j, d2=d2, ok=ok, W=W, M=zero,
+                                  LT=zero, LTp=LTp)
     M = assemble(A, d2, opts.assembly_precision)
     m = M.shape[-1]
     diag = jnp.diagonal(M)

@@ -226,3 +226,36 @@ def test_diag_block_inverse_ill_conditioned():
     resid_rel = (np.abs(M @ x.astype(np.float64) - b).max()
                  / (np.abs(M).max() * np.abs(x).max()))
     assert resid_rel < 1e-5, f"solve residual {resid_rel:.2e}"
+
+
+def test_factor_fused_panels_matches_oracle():
+    """Fused assemble+factor (bf16 A, in-kernel split3 + Jacobi scaling +
+    per-instance reg) matches the f64 assemble->scale->factor oracle."""
+    rng = np.random.default_rng(31)
+    B, m, n = 2, 256, 384
+    A32 = (rng.standard_normal((B, m, n)) / np.sqrt(n)).astype(np.float32)
+    Abf = jnp.asarray(A32).astype(jnp.bfloat16)
+    d2 = jnp.asarray(rng.uniform(0.01, 100.0, (B, n)).astype(np.float32))
+    Af = np.asarray(Abf, np.float64)
+    Mref = np.einsum("bij,bj,bkj->bik", Af, np.asarray(d2, np.float64), Af)
+    jref = 1.0 / np.sqrt(np.einsum("bii->bi", Mref))
+    # DISTINCT per-instance regs — the batched route escalates reg_boost
+    # per instance, so the kernel must not share instance 0's value
+    regs = np.array([1e-8, 1e-4])
+    Msc = (Mref * jref[:, :, None] * jref[:, None, :]
+           + regs[:, None, None] * np.eye(m))
+    Lref = np.linalg.cholesky(Msc)
+    panels, W = pk.factor_fused_panels(
+        Abf, d2, jnp.asarray(jref, jnp.float32),
+        jnp.asarray(regs, jnp.float32))
+    for k, p in enumerate(panels):
+        o = k * pk.NB
+        ref = Lref[:, o:, o:o + pk.NB].swapaxes(1, 2)
+        err = np.abs(np.asarray(p, np.float64) - ref).max()
+        assert err < 5e-4, (k, err)
+    # and the solve path composes
+    xt = rng.standard_normal((B, m))
+    rhs = np.einsum("bij,bj->bi", Msc, xt)
+    x = np.asarray(pk.chol_solve_batched_panels(
+        panels, W, jnp.asarray(rhs, jnp.float32)), np.float64)
+    assert np.abs(x - xt).max() / np.abs(xt).max() <= 5e-3
