@@ -259,3 +259,23 @@ def test_factor_fused_panels_matches_oracle():
     x = np.asarray(pk.chol_solve_batched_panels(
         panels, W, jnp.asarray(rhs, jnp.float32)), np.float64)
     assert np.abs(x - xt).max() / np.abs(xt).max() <= 5e-3
+
+
+def test_assemble_sym_batched_matches_oracle():
+    """Whole-A-resident symmetric assembly kernel: exact split3 accuracy
+    and exact symmetry (diagonal tiles are symmetrized in-kernel)."""
+    rng = np.random.default_rng(41)
+    B, m, n = 3, 256, 384
+    A32 = (rng.standard_normal((B, m, n)) / np.sqrt(n)).astype(np.float32)
+    Abf = jnp.asarray(A32).astype(jnp.bfloat16)
+    d2 = jnp.asarray(rng.uniform(0.01, 100.0, (B, n)).astype(np.float32))
+    assert pk.assemble_fits_kernel(m, n, 2)
+    M = np.asarray(pk.assemble_sym_batched(Abf, d2), np.float64)
+    Af = np.asarray(Abf, np.float64)
+    Mref = np.einsum("bij,bj,bkj->bik", Af, np.asarray(d2, np.float64), Af)
+    rel = np.abs(M - Mref).max() / np.abs(Mref).max()
+    assert rel <= 5e-7
+    assert np.array_equal(M, np.swapaxes(M, 1, 2))
+    # gate rejects what cannot hold A+M in VMEM
+    assert not pk.assemble_fits_kernel(4096, 8192, 2)
+    assert not pk.assemble_fits_kernel(100, 384, 2)
