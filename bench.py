@@ -74,6 +74,12 @@ def main() -> int:
                    help="KKT refinement sweeps for BOTH predictor and "
                         "corrector (A/B knob; the split3-assembly "
                         "preconditioner may carry fewer sweeps)")
+    p.add_argument("--assembly-precision", choices=["highest", "high"],
+                   default="highest",
+                   help="split depth of the fused factor's assembly operand "
+                        "(highest = 3 exact bf16 passes; high = 2 passes, "
+                        "|err| <= 2^-16 — A/B probe only, the convergence "
+                        "probe must stay 4/4)")
     p.add_argument("--a-storage", choices=["float32", "bfloat16"],
                    default="bfloat16",
                    help="store the batch's A tensors bf16 (halves HBM "
@@ -127,6 +133,8 @@ def main() -> int:
     # The correctness probe below runs the SAME config to convergence and
     # reports its achieved rel gap alongside the timing.
     opt_kw = {}
+    if args.assembly_precision != "highest":
+        opt_kw["assembly_precision"] = args.assembly_precision
     if args.proj_cg_iters is not None:
         opt_kw["proj_cg_iters"] = args.proj_cg_iters
     if args.refines != 2:

@@ -399,7 +399,9 @@ def solve_large(c, A=None, b=None, mesh=None,
             st2 = _run_single_resumed(lp, sch, state0)
             jax.block_until_ready(st2.x)
             if float(st2.best_merit) < float(st.best_merit):
-                st = st2
+                import dataclasses
+                # report CUMULATIVE iterations across both stages
+                st = dataclasses.replace(st2, it=st.it + st2.it)
     return _state_to_solution(lp, st)
 
 

@@ -1459,9 +1459,15 @@ def _assemble_sym_batched_vmap(axis_size, in_batched, A, d2):
 # ---------------------------------------------------------------------------
 
 
-def _fused_panel_kernel(*refs, m: int, n: int, k: int, BF: int):
+def _fused_panel_kernel(*refs, m: int, n: int, k: int, BF: int,
+                        passes: int = 3):
     """refs = (a_hbm, d2_hbm, j_hbm, reg_hbm, p_hbm[0..k-1], c_hbm,
-               Ar, A0, A1, h1, h2, h3, d2b, jb, regb, C, P0, P1, sems)."""
+               Ar, A0, A1, h1, h2, h3, d2b, jb, regb, C, P0, P1, sems).
+
+    ``passes`` is the split depth of the f32 row operand: 3 = exact to f32
+    (|err| <= 2^-24), 2 = |err| <= 2^-16 — a THROUGHPUT A/B knob
+    (assembly_precision="high"); the convergence probe must adjudicate any
+    default change (the 1-pass variant is a known failed experiment)."""
     a_hbm, d2_hbm, j_hbm, reg_hbm = refs[:4]
     p_hbm = refs[4:4 + k]
     c_hbm = refs[4 + k]
@@ -1471,7 +1477,7 @@ def _fused_panel_kernel(*refs, m: int, n: int, k: int, BF: int):
     b0 = pl.multiple_of(pl.program_id(0) * BF, BF)
     Ab = (A0, A1)
     Pb = (P0, P1)
-    hs = (h1, h2, h3)
+    hs = (h1, h2, h3)[:passes]
     eye = (jax.lax.broadcasted_iota(jnp.int32, (1, NB, NB), 1)
            == jax.lax.broadcasted_iota(jnp.int32, (1, NB, NB), 2))
     cps = {}
@@ -1564,13 +1570,14 @@ def _fused_chunk(B: int, m: int, n: int, w: int) -> int:
     return bf
 
 
-def _fused_panel(A, d2r, jr, reg, panels: tuple, k: int):
+def _fused_panel(A, d2r, jr, reg, panels: tuple, k: int, passes: int = 3):
     """pallas_call wrapper for :func:`_fused_panel_kernel` (batched)."""
     B, m, n = A.shape
     o = k * NB
     w = m - o
     BF = _fused_chunk(B, m, n, w)
-    kernel = functools.partial(_fused_panel_kernel, m=m, n=n, k=k, BF=BF)
+    kernel = functools.partial(_fused_panel_kernel, m=m, n=n, k=k, BF=BF,
+                               passes=passes)
     return pl.pallas_call(
         kernel,
         grid=(B // BF,),
@@ -1601,49 +1608,62 @@ def fused_factor_fits(m: int, n: int, a_dtype) -> bool:
     return a_dtype == jnp.bfloat16 and m % NB == 0 and n % NB == 0
 
 
-@jax.custom_batching.custom_vmap
-def factor_fused_panels(A: jax.Array, d2: jax.Array, j: jax.Array,
-                        reg: jax.Array):
+def factor_fused_panels(A, d2, j, reg, passes: int = 3):
     """Fused assemble+factor: A (B, m, n) bf16, d2 (B, n), j (B, m) the
     Jacobi scale, reg (B,) the (already reg_scale-multiplied) Tikhonov
     term -> (panels, W) of the scaled regularized normal matrix, in the
-    same layout as :func:`factor_lt_panels`."""
-    B, m, n = A.shape
-    nblk = m // NB
-    d2r = d2[:, None, :].astype(jnp.float32)
-    jr = j.astype(jnp.float32)
-    # per-instance reg (reg_boost differs across a solve batch), replicated
-    # across NB columns so the kernel's diagonal add is a clean 2D slice
-    regv = jnp.broadcast_to(jnp.reshape(reg, (B, 1)).astype(jnp.float32),
-                            (B, NB))
-    panels = []
-    ws = []
-    for k in range(nblk):
-        C = _fused_panel(A, d2r, jr, regv, tuple(panels), k)
-        L_D, W_D = _factor_block_twolevel(C[:, :, :NB], mosaic=False)
-        ws.append(W_D)
-        LdT = jnp.swapaxes(L_D, 1, 2)
-        if (k + 1) * NB < m:
-            Pt = _bmm(W_D, C[:, :, NB:])
-            panels.append(jnp.concatenate([LdT, Pt], axis=2))
-        else:
-            panels.append(LdT)
-    return tuple(panels), jnp.stack(ws, axis=1)
+    same layout as :func:`factor_lt_panels`.  ``passes`` = split depth of
+    the assembly operand (3 = f32-exact; 2 = throughput A/B)."""
+    return (_factor_fused_panels3 if passes == 3
+            else _factor_fused_panels2)(A, d2, j, reg)
 
 
-@factor_fused_panels.def_vmap
-def _factor_fused_panels_vmap(axis_size, in_batched, A, d2, j, reg):
-    ops = [A, d2, j, reg]
-    ops = [o if bt else jnp.broadcast_to(o[None], (axis_size, *o.shape))
-           for o, bt in zip(ops, in_batched)]
-    A, d2, j, reg = ops
-    V, B = A.shape[0], A.shape[1]
-    panels, W = factor_fused_panels(
-        A.reshape(V * B, *A.shape[2:]), d2.reshape(V * B, *d2.shape[2:]),
-        j.reshape(V * B, *j.shape[2:]), reg.reshape(V * B))
-    panels = tuple(p.reshape(V, B, *p.shape[1:]) for p in panels)
-    return ((panels, W.reshape(V, B, *W.shape[1:])),
-            (tuple(True for _ in panels), True))
+def _make_fused_panels(passes: int):
+    @jax.custom_batching.custom_vmap
+    def impl(A: jax.Array, d2: jax.Array, j: jax.Array, reg: jax.Array):
+        B, m, n = A.shape
+        nblk = m // NB
+        d2r = d2[:, None, :].astype(jnp.float32)
+        jr = j.astype(jnp.float32)
+        # per-instance reg (reg_boost differs across a solve batch),
+        # replicated across NB columns so the kernel's diagonal add is a
+        # clean 2D slice
+        regv = jnp.broadcast_to(jnp.reshape(reg, (B, 1)).astype(jnp.float32),
+                                (B, NB))
+        panels = []
+        ws = []
+        for k in range(nblk):
+            C = _fused_panel(A, d2r, jr, regv, tuple(panels), k,
+                             passes=passes)
+            L_D, W_D = _factor_block_twolevel(C[:, :, :NB], mosaic=False)
+            ws.append(W_D)
+            LdT = jnp.swapaxes(L_D, 1, 2)
+            if (k + 1) * NB < m:
+                Pt = _bmm(W_D, C[:, :, NB:])
+                panels.append(jnp.concatenate([LdT, Pt], axis=2))
+            else:
+                panels.append(LdT)
+        return tuple(panels), jnp.stack(ws, axis=1)
+
+    @impl.def_vmap
+    def _vmap(axis_size, in_batched, A, d2, j, reg):
+        ops = [A, d2, j, reg]
+        ops = [o if bt else jnp.broadcast_to(o[None], (axis_size, *o.shape))
+               for o, bt in zip(ops, in_batched)]
+        A, d2, j, reg = ops
+        V, B = A.shape[0], A.shape[1]
+        panels, W = impl(
+            A.reshape(V * B, *A.shape[2:]), d2.reshape(V * B, *d2.shape[2:]),
+            j.reshape(V * B, *j.shape[2:]), reg.reshape(V * B))
+        panels = tuple(p.reshape(V, B, *p.shape[1:]) for p in panels)
+        return ((panels, W.reshape(V, B, *W.shape[1:])),
+                (tuple(True for _ in panels), True))
+
+    return impl
+
+
+_factor_fused_panels3 = _make_fused_panels(3)
+_factor_fused_panels2 = _make_fused_panels(2)
 
 
 # --- single-instance conveniences (used by normal_eq under vmap) -----------

@@ -186,7 +186,7 @@ def factor(A: jax.Array, d2: jax.Array, opts: SolverOptions,
     if opts.chol_backend == "pallas_left" and opts.cg_operator != "assembled":
         from ipx.kernels import cholesky as pk
         if (pk.fused_factor_fits(A.shape[0], A.shape[1], A.dtype)
-                and opts.assembly_precision == "highest"):
+                and opts.assembly_precision in ("highest", "high")):
             # FUSED assemble+factor: the scaled regularized normal matrix is
             # assembled panel-by-panel from the bf16 A inside the factor
             # kernels and never materializes (kernels/cholesky.py).  The
@@ -200,7 +200,8 @@ def factor(A: jax.Array, d2: jax.Array, opts: SolverOptions,
                    * jnp.asarray(reg_scale, jnp.float32))
             panels1, W1 = pk.factor_fused_panels(
                 A[None], d2[None].astype(jnp.float32), j[None],
-                jnp.reshape(reg, (1,)))
+                jnp.reshape(reg, (1,)),
+                passes=3 if opts.assembly_precision == "highest" else 2)
             LTp = tuple(p[0] for p in panels1)
             W = W1[0]
             zero = jnp.zeros((0,), jnp.float32)
