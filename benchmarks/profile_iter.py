@@ -190,6 +190,16 @@ def main() -> int:
         return jax.lax.fori_loop(0, k, body, r)
 
     @functools.partial(jax.jit, static_argnums=(0,))
+    def run_fused_diag(k, A, d2):
+        # the fused factor path's Jacobi-scale matvec: does XLA fuse the
+        # square+upcast into the reduction or materialize f32 A?
+        def body(_, d2):
+            diag = jnp.einsum("bmn,bn->bm", jnp.square(A.astype(jnp.float32)),
+                              d2, precision=jax.lax.Precision.HIGHEST)
+            return d2 + one * jnp.mean(diag, axis=1)[:, None]
+        return jax.lax.fori_loop(0, k, body, d2)
+
+    @functools.partial(jax.jit, static_argnums=(0,))
     def run_panels_factor(k, Ms):
         from ipx.kernels import cholesky as pk
 
@@ -341,6 +351,7 @@ def main() -> int:
         "pallas_left_factor": (run_pallas_left_factor, (Ms0,), sync_arr),
         "panels_factor": (run_panels_factor, (Ms0,), sync_arr),
         "precond_panels": (run_precond_panels, (fac0, rhs_0), sync_arr),
+        "fused_diag": (run_fused_diag, (blp.A, d2_0), sync_arr),
         "cgchain": (run_cgchain,
                     (LT0, fac0.W, blp.A, fac0.d2, rhs_0), sync_arr),
         "precond_vmapped": (run_precond_vmapped, (fac0, rhs_0), sync_arr),

@@ -69,13 +69,48 @@ class SchurFactor:
     """Distributed Cholesky factor of  J (A D^2 A^T) J + reg I.
 
     ``Lpanel`` is the global (m, m) lower factor laid out as row panels
-    (each device owns m/p contiguous rows).  ``j`` is the global Jacobi
-    scale; ``d2`` the (column-sharded) scaling vector.
+    (each device owns m/p contiguous rows).  ``Wd`` holds the 128x128
+    diagonal-block inverses of the GLOBAL factor (replicated — m/128 blocks
+    of 64KB), which turn every triangular solve into a short static chain
+    of MXU matmuls.  ``j`` is the global Jacobi scale; ``d2`` the
+    (column-sharded) scaling vector.
     """
     Lpanel: jax.Array   # (m, m) distributed row panels of L
+    Wd: jax.Array       # (m/128, 128, 128) diag-block inverses, replicated
     j: jax.Array        # (m,) Jacobi scale, replicated
     d2: jax.Array       # (n,) column-sharded
     ok: jax.Array       # () bool
+
+_NB = 128  # diagonal blocking of the distributed factor (MXU tile)
+
+
+def _dblk(mp: int) -> int:
+    """Diagonal block width of the distributed factor: the 128 MXU tile
+    when mp allows, else the whole mp block (tiny test meshes)."""
+    return _NB if mp % _NB == 0 else mp
+
+
+def _blk_trisolve_right(B, LTkk, Wb, mp: int):
+    """X = B @ inv(Lkk)^T for (rows, mp) B, given Lkk's TRANSPOSED factor
+    layout and its diag-block inverses: ascending column blocks,
+
+        X_j = (B_j - sum_{i<j} X_i * LT[i-block, j-block]) @ W_j^T
+
+    — a static mp/128-step loop of MXU matmuls (the compile-light, MXU-
+    friendly replacement for the (mp, mp) solve_triangular-against-eye the
+    r2 route ran EVERY iteration: at mp=8192 that expander graph killed
+    the remote XLA compiler and its runtime was 2x the potrf's FLOPs)."""
+    w = Wb.shape[-1]
+    nb = mp // w
+    cols = []
+    for jb in range(nb):
+        oj = jb * w
+        acc = B[:, oj:oj + w]
+        for ib in range(jb):
+            acc = acc - mm(cols[ib], LTkk[ib * w:(ib + 1) * w,
+                                          oj:oj + w], "highest")
+        cols.append(mm(acc, Wb[jb].T, "highest"))
+    return jnp.concatenate(cols, axis=1)
 
 
 def _dist_cholesky(panel, p: int, mp: int):
@@ -84,59 +119,85 @@ def _dist_cholesky(panel, p: int, mp: int):
     ``panel``: this device's (mp, m) rows of the SPD matrix.  p static block
     steps; step k all_gathers the freshly computed block column (m, mp) so
     every device can apply the trailing update to its rows.  Runs inside
-    shard_map; all slices static (k is a Python int).
+    shard_map; all slices static (k is a Python int).  The diagonal factor
+    is the 128-blocked left-looking potrf (compile-light static panels),
+    and its per-step 128-block inverses are returned so the distributed
+    solves below run as matmul substitutions.
     """
+    from ipx.linsys.normal_eq import _blocked_potrf_left, _invert_lower_blocks
     i = lax.axis_index(ROW_AXIS)
     m = panel.shape[1]
     Lp = jnp.zeros_like(panel)
-    eye = jnp.eye(mp, dtype=panel.dtype)
+    wds = []
     for k in range(p):
         o = k * mp
         blk = panel[:, o:o + mp]                    # my M[i,k] block (mp,mp)
         # broadcast M_kk (device k's diagonal block)
         Mkk = lax.psum(jnp.where(i == k, blk, 0.0), ROW_AXIS)
-        Lkk = jnp.linalg.cholesky(Mkk)
-        # every device computes inv(L_kk) redundantly (mp^3, tiny) so the
-        # panel TRSM below is a plain MXU matmul
-        Wkk = jax.scipy.linalg.solve_triangular(Lkk, eye, lower=True)
+        if _dblk(mp) == _NB:
+            LTkk, Wb = _blocked_potrf_left(Mkk, _NB)
+        else:
+            # tiny mp (virtual test meshes): whole-block factor + trtri-
+            # style inverse — still expander-free matmul recursions
+            Lkk0 = jnp.linalg.cholesky(Mkk)
+            LTkk = Lkk0.T
+            Wb = _invert_lower_blocks(Lkk0[None],
+                                      base=min(32, mp))
+        wds.append(Wb)
         Lik = jnp.where(
-            i > k, mm(blk, Wkk.T, "highest"),
-            jnp.where(i == k, Lkk, jnp.zeros_like(blk)))
+            i > k, _blk_trisolve_right(blk, LTkk, Wb, mp),
+            jnp.where(i == k, LTkk.T, jnp.zeros_like(blk)))
         col = lax.all_gather(Lik, ROW_AXIS, tiled=True)   # (m, mp)
         if o + mp < m:
             # trailing syrk on my rows: M[i, k+1:] -= L[i,k] @ col[k+1:,:]^T
             panel = panel.at[:, o + mp:].add(
                 -mm(Lik, col[o + mp:, :].T, "highest"))
         Lp = Lp.at[:, o:o + mp].set(Lik)
-    return Lp
+    return Lp, jnp.concatenate(wds, axis=0)
 
 
-def _dist_solve_lower(Lp, r, p: int, mp: int):
+def _dist_solve_lower(Lp, r, p: int, mp: int, Wd):
     """Solve L y = r (blocked forward substitution across devices).
 
-    ``Lp``: my (mp, m) rows of L; ``r``: replicated (m,).  Returns
-    replicated y.  p steps; step k broadcasts device k's mp-subvector."""
+    ``Lp``: my (mp, m) rows of L; ``r``: replicated (m,); ``Wd``: the
+    global 128-block diagonal inverses.  Returns replicated y.  p outer
+    steps; step k broadcasts device k's mp-subvector; the local mp-block
+    solve is a static 128-blocked matmul substitution (no expander)."""
     i = lax.axis_index(ROW_AXIS)
     y = jnp.zeros_like(r)
+    w = Wd.shape[-1]
+    nb = mp // w
     for k in range(p):
         o = k * mp
         pref = mv(Lp[:, :o], y[:o], "highest") if o else 0.0
         rk = r[o:o + mp] - pref                     # correct on device k
         Lkk = Lp[:, o:o + mp]
-        yk = jax.scipy.linalg.solve_triangular(Lkk, rk, lower=True)
+        parts = []
+        for jb in range(nb):
+            oj = jb * w
+            acc = rk[oj:oj + w]
+            if jb:
+                ysf = jnp.concatenate(parts)
+                acc = acc - mv(Lkk[oj:oj + w, :oj], ysf, "highest")
+            parts.append(mv(Wd[k * nb + jb], acc, "highest"))
+        yk = jnp.concatenate(parts) if nb > 1 else parts[0]
         yk = lax.psum(jnp.where(i == k, yk, 0.0), ROW_AXIS)
         y = y.at[o:o + mp].set(yk)
     return y
 
 
-def _dist_solve_upper(Lp, r, p: int, mp: int):
+def _dist_solve_upper(Lp, r, p: int, mp: int, Wd):
     """Solve L^T x = r (blocked backward substitution across devices).
 
     U = L^T has block row k = column block k of L spread across devices
-    j >= k; each device contributes L[j,k]^T x_j locally, psum-reduced."""
+    j >= k; each device contributes L[j,k]^T x_j locally, psum-reduced.
+    The local mp-block backward solve is a 128-blocked substitution with
+    Wd^T matmuls."""
     i = lax.axis_index(ROW_AXIS)
     m = r.shape[0]
     x = jnp.zeros_like(r)
+    w = Wd.shape[-1]
+    nb = mp // w
     for k in range(p - 1, -1, -1):
         o = k * mp
         # s = sum_{j>k} L[j,k]^T x_j : my contribution uses my rows' block
@@ -144,8 +205,16 @@ def _dist_solve_upper(Lp, r, p: int, mp: int):
         contrib = mv(Lp[:, o:o + mp].T, x_slice(x, i, mp), "highest")
         s = lax.psum(jnp.where(i > k, contrib, 0.0), ROW_AXIS)
         Lkk = Lp[:, o:o + mp]
-        xk = jax.scipy.linalg.solve_triangular(Lkk.T, r[o:o + mp] - s,
-                                               lower=False)
+        rk = r[o:o + mp] - s
+        parts = [None] * nb
+        for jb in range(nb - 1, -1, -1):
+            oj = jb * w
+            acc = rk[oj:oj + w]
+            if jb < nb - 1:
+                xsf = jnp.concatenate(parts[jb + 1:])
+                acc = acc - mv(Lkk[oj + w:, oj:oj + w].T, xsf, "highest")
+            parts[jb] = mv(Wd[k * nb + jb].T, acc, "highest")
+        xk = jnp.concatenate(parts) if nb > 1 else parts[0]
         xk = lax.psum(jnp.where(i == k, xk, 0.0), ROW_AXIS)
         x = x.at[o:o + mp].set(xk)
     return x
@@ -188,17 +257,17 @@ def factor(A: jax.Array, d2: jax.Array, opts: SolverOptions,
         panel = panel + reg * (rows == cols).astype(panel.dtype)
         return _dist_cholesky(panel, p, mp)
 
-    Lpanel = jax.shard_map(
+    Lpanel, Wd = jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(None, ROW_AXIS), P(ROW_AXIS), P()),
-        out_specs=P(ROW_AXIS, None),
+        out_specs=(P(ROW_AXIS, None), P()),
         check_vma=False,
     )(A, d2, j)
 
     ldiag = jnp.diagonal(Lpanel)
     ok = (jnp.all(jnp.isfinite(ldiag)) & jnp.all(ldiag > 0)
           & jnp.all(jnp.isfinite(j)))
-    return SchurFactor(Lpanel=Lpanel, j=j, d2=d2, ok=ok)
+    return SchurFactor(Lpanel=Lpanel, Wd=Wd, j=j, d2=d2, ok=ok)
 
 
 def _precond(fac: SchurFactor, r: jax.Array, mesh: Mesh) -> jax.Array:
@@ -207,16 +276,16 @@ def _precond(fac: SchurFactor, r: jax.Array, mesh: Mesh) -> jax.Array:
     p = mesh.shape[ROW_AXIS]
     mp = m // p
 
-    def local(Lp, r_rep):
-        y = _dist_solve_lower(Lp, r_rep, p, mp)
-        return _dist_solve_upper(Lp, y, p, mp)
+    def local(Lp, Wd, r_rep):
+        y = _dist_solve_lower(Lp, r_rep, p, mp, Wd)
+        return _dist_solve_upper(Lp, y, p, mp, Wd)
 
     z = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P(ROW_AXIS, None), P()),
+        in_specs=(P(ROW_AXIS, None), P(), P()),
         out_specs=P(),
         check_vma=False,
-    )(fac.Lpanel, fac.j * r)
+    )(fac.Lpanel, fac.Wd, fac.j * r)
     return fac.j * z
 
 

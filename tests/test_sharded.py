@@ -108,3 +108,37 @@ def test_sharded_schur_endgame_degenerate():
     assert sol.rel_gap <= 1e-6
     rel = abs(sol.objective - g.obj_star) / (1 + abs(g.obj_star))
     assert rel <= 2e-5
+
+
+@needs_8
+def test_sharded_blocked_diag_path_matches_dense():
+    """mp = m/p >= 128: the distributed factor/solves take the 128-BLOCKED
+    diagonal path (blocked potrf + stored block inverses + matmul
+    substitutions — the compile-light route that replaced the per-iteration
+    solve_triangular-against-eye).  Equality vs the dense route."""
+    rng = np.random.default_rng(5)
+    m, n = 1024, 2048
+    A = jnp.asarray(rng.standard_normal((m, n)) / np.sqrt(n), jnp.float32)
+    d2 = jnp.asarray(rng.uniform(0.1, 10.0, n), jnp.float32)
+    rhs = jnp.asarray(rng.standard_normal(m), jnp.float32)
+
+    dense_opts = ipx.SolverOptions(dtype="float32")
+    fac_d = normal_eq.factor(A, d2, dense_opts)
+    y_dense = normal_eq.solve(fac_d, A, rhs, dense_opts)
+
+    mesh = meshlib.make_mesh(batch=1, row=8)   # mp = 128: blocked path
+    sh_opts = dense_opts.replace(linsys="sharded")
+
+    # jit the whole factor+solve: EAGER shard_map lowers every primitive of
+    # the unrolled blocked chain as its own micro-compile (minutes), which
+    # no production path does (api.solve_large jits the full solve)
+    @jax.jit
+    def fs(A, d2, rhs):
+        fac_s = normal_eq.factor(A, d2, sh_opts)
+        return normal_eq.solve(fac_s, A, rhs, sh_opts), fac_s.Wd
+
+    with schur.use_mesh(mesh):
+        y_sh, Wd = fs(A, d2, rhs)
+    assert Wd.shape == (m // 128, 128, 128)
+    np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_dense),
+                               rtol=5e-3, atol=5e-4)
