@@ -1511,7 +1511,11 @@ def _fused_panel_kernel(*refs, m: int, n: int, k: int, BF: int,
     ld_j.wait()
     ld_g.wait()
     # --- split3 of the scaled f32 row operand, in registers ----------------
-    jr = jb[:, o:o + NB]
+    # jb/regb are (BF, 1, ·): the unit middle dim keeps the HBM operands 3D
+    # so a BF<8 batch slice never cuts the (8,128)-tiled sublane dim (real
+    # Mosaic rejects 1-row slices of 2D arrays; interpret mode does not).
+    jv = jb[:][:, 0, :]
+    jr = jv[:, o:o + NB]
     W = (Ar[:].astype(jnp.float32) * d2b[:]) * jr[:, :, None]
     for h in hs:
         t_ = W.astype(jnp.bfloat16)
@@ -1530,12 +1534,12 @@ def _fused_panel_kernel(*refs, m: int, n: int, k: int, BF: int,
                                     (((2,), (2,)), ((0,), (0,))),
                                     preferred_element_type=jnp.float32)
             acc = p if acc is None else acc + p
-        jc = jb[:, t * NB:(t + 1) * NB]
+        jc = jv[:, t * NB:(t + 1) * NB]
         acc = acc * jc[:, None, :]
         if t == k:
             # per-instance Tikhonov reg on the diagonal block: regb is the
-            # (BF, NB) column-replicated reg vector, masked to the diagonal
-            acc = acc + eye.astype(jnp.float32) * regb[:][:, None, :]
+            # (BF, 1, NB) column-replicated reg vector, masked to the diagonal
+            acc = acc + eye.astype(jnp.float32) * regb[:]
         C[:, :, (t - k) * NB:(t - k + 1) * NB] = acc
     # --- subtract prior panels (depth-1 prefetch) ---------------------------
     if k > 0:
@@ -1592,8 +1596,8 @@ def _fused_panel(A, d2r, jr, reg, panels: tuple, k: int, passes: int = 3):
             pltpu.VMEM((BF, NB, n), jnp.bfloat16),    # h2
             pltpu.VMEM((BF, NB, n), jnp.bfloat16),    # h3
             pltpu.VMEM((BF, 1, n), jnp.float32),      # d2b
-            pltpu.VMEM((BF, m), jnp.float32),         # jb
-            pltpu.VMEM((BF, NB), jnp.float32),        # regb
+            pltpu.VMEM((BF, 1, m), jnp.float32),      # jb
+            pltpu.VMEM((BF, 1, NB), jnp.float32),     # regb
             pltpu.VMEM((BF, NB, w), jnp.float32),     # C accumulator
             pltpu.VMEM((BF, NB, w), jnp.float32),     # P0 prior stream
             pltpu.VMEM((BF, NB, w), jnp.float32),     # P1
@@ -1624,12 +1628,13 @@ def _make_fused_panels(passes: int):
         B, m, n = A.shape
         nblk = m // NB
         d2r = d2[:, None, :].astype(jnp.float32)
-        jr = j.astype(jnp.float32)
+        jr = j.astype(jnp.float32)[:, None, :]
         # per-instance reg (reg_boost differs across a solve batch),
         # replicated across NB columns so the kernel's diagonal add is a
-        # clean 2D slice
-        regv = jnp.broadcast_to(jnp.reshape(reg, (B, 1)).astype(jnp.float32),
-                                (B, NB))
+        # clean slice; (B, 1, NB) like d2r/jr — see the tiling note in the
+        # kernel
+        regv = jnp.broadcast_to(
+            jnp.reshape(reg, (B, 1, 1)).astype(jnp.float32), (B, 1, NB))
         panels = []
         ws = []
         for k in range(nblk):
