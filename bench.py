@@ -38,8 +38,8 @@ def main() -> int:
     p.add_argument("--quick", action="store_true",
                    help="small shapes for smoke-testing the harness")
     p.add_argument("--chol-backend",
-                   choices=["xla", "pallas", "pallas_left", "hybrid", "blocked",
-                            "blocked_left"],
+                   choices=["xla", "pallas", "pallas_left", "panels",
+                            "hybrid", "blocked", "blocked_left"],
                    default="blocked_left",
                    help="factorization backend A/B (production: "
                         "blocked_left — XLA-level left-looking blocked "

@@ -46,8 +46,8 @@ def main() -> int:
     ap.add_argument("--a-storage", choices=["float32", "bfloat16"],
                     default="bfloat16")
     ap.add_argument("--chol-backend",
-                    choices=["xla", "pallas", "pallas_left", "hybrid", "blocked",
-                             "blocked_left"],
+                    choices=["xla", "pallas", "pallas_left", "panels",
+                             "hybrid", "blocked", "blocked_left"],
                     default="blocked_left")
     ap.add_argument("--refine-solve-cg", type=int, default=0)
     ap.add_argument("--proj-cg-iters", type=int, default=0)
@@ -213,6 +213,20 @@ def main() -> int:
         return jnp.diagonal(out, axis1=-2, axis2=-1)
 
     @functools.partial(jax.jit, static_argnums=(0,))
+    def run_panels_xla_factor(k, Ms):
+        # the "panels" backend's factor: XLA left-looking, suffix-only
+        # panel outputs (normal_eq._blocked_potrf_left_panels)
+        def body(_, Ms):
+            panels, W = jax.vmap(
+                lambda M: normal_eq._blocked_potrf_left_panels(M, 128))(Ms)
+            used = jnp.mean(jnp.abs(W), axis=(1, 2, 3))
+            for p in panels:
+                used = used + jnp.mean(jnp.abs(p), axis=(1, 2))
+            return Ms + one * used[:, None, None]
+        out = jax.lax.fori_loop(0, k, body, Ms)
+        return jnp.diagonal(out, axis1=-2, axis2=-1)
+
+    @functools.partial(jax.jit, static_argnums=(0,))
     def run_ata(k, A, d2, v):
         from ipx.kernels import fused as fk
 
@@ -350,6 +364,7 @@ def main() -> int:
         "pallas_factor": (run_pallas_factor, (Ms0,), sync_arr),
         "pallas_left_factor": (run_pallas_left_factor, (Ms0,), sync_arr),
         "panels_factor": (run_panels_factor, (Ms0,), sync_arr),
+        "panels_xla_factor": (run_panels_xla_factor, (Ms0,), sync_arr),
         "precond_panels": (run_precond_panels, (fac0, rhs_0), sync_arr),
         "fused_diag": (run_fused_diag, (blp.A, d2_0), sync_arr),
         "cgchain": (run_cgchain,

@@ -154,8 +154,13 @@ class SolverOptions:
                                 # | "pallas_left" (the kernel-resident
                                 #   left-looking Mosaic factor: VMEM-resident
                                 #   panels, depth-1 stripe prefetch, emits
-                                #   LT + W directly — the production batch
-                                #   factor; see kernels/cholesky.py)
+                                #   LT + W directly; see kernels/cholesky.py)
+                                # | "panels" (XLA-level left-looking factor
+                                #   emitting suffix-only panels directly +
+                                #   the Mosaic panel pair-solve — factor
+                                #   output IS the solve input, no (m, m)
+                                #   buffer anywhere; see
+                                #   normal_eq._blocked_potrf_left_panels)
     # Matvec backend for the f32 dense route: "fused" evaluates the
     # matrix-free normal operator / KKT-refinement rhs with the A-resident
     # Pallas stripe kernel (ipx/kernels/fused.py) — ONE stream of A where
@@ -196,7 +201,7 @@ class SolverOptions:
         if self.linsys not in ("dense", "sharded", "augmented",
                                "augmented_schur", "sharded_schur"):
             raise ValueError(f"unsupported linsys {self.linsys!r}")
-        if self.chol_backend not in ("xla", "pallas", "pallas_left",
+        if self.chol_backend not in ("xla", "pallas", "pallas_left", "panels",
                                      "hybrid", "blocked", "blocked_left"):
             raise ValueError(f"unsupported chol_backend {self.chol_backend!r}")
         if self.dtype == "float64" and self.chol_backend != "xla":

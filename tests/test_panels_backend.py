@@ -1,0 +1,127 @@
+"""chol_backend="panels" (XLA left-looking factor emitting suffix-only
+panels + Mosaic panel pair-solves) and the O(1)-program-size scan factor
+``normal_eq._potrf_left_scan`` (the config-4 m>=8192 compile-wall fix).
+Oracle: numpy float64 Cholesky / direct solve, plus bit-level agreement
+with the already-validated blocked_left factor (same algebra)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import ipx
+from ipx.linsys import normal_eq
+from ipx.kernels import cholesky as pk
+
+
+def _rand_spd(m, seed, cond=1e3):
+    rng = np.random.default_rng(seed)
+    Q, _ = np.linalg.qr(rng.standard_normal((m, m)))
+    lam = np.logspace(0, -np.log10(cond), m)
+    return (Q * lam) @ Q.T
+
+
+@pytest.mark.parametrize("m", [128, 256, 384])
+def test_potrf_left_panels_matches_numpy(m):
+    M = _rand_spd(m, seed=m).astype(np.float32)
+    panels, W = normal_eq._blocked_potrf_left_panels(jnp.asarray(M), pk.NB)
+    L_ref = np.linalg.cholesky(M.astype(np.float64))
+    assert len(panels) == m // pk.NB
+    for k, p in enumerate(panels):
+        o = k * pk.NB
+        assert p.shape == (pk.NB, m - o)
+        # panel k holds rows o..o+NB of L^T from the diagonal on
+        ref = L_ref.T[o:o + pk.NB, o:]
+        np.testing.assert_allclose(np.asarray(p), ref, rtol=2e-3,
+                                   atol=5e-5 * np.abs(L_ref).max())
+        blk = np.asarray(p)[:, :pk.NB].T
+        np.testing.assert_allclose(np.asarray(W)[k] @ blk, np.eye(pk.NB),
+                                   atol=5e-4)
+
+
+def test_potrf_left_panels_matches_blocked_left():
+    """Same algebra as _blocked_potrf_left up to f32 reduction order (the
+    panel form splits the one deferred-update matmul into k per-panel
+    matmuls, so the accumulation order differs from panel 2 on)."""
+    m = 512
+    M = jnp.asarray(_rand_spd(m, seed=3).astype(np.float32))
+    LT, W = normal_eq._blocked_potrf_left(M, 128)
+    panels, Wp = normal_eq._blocked_potrf_left_panels(M, 128)
+    np.testing.assert_allclose(np.asarray(W), np.asarray(Wp),
+                               atol=5e-4, rtol=1e-3)
+    scale = float(jnp.max(jnp.abs(LT)))
+    for k, p in enumerate(panels):
+        o = k * pk.NB
+        np.testing.assert_allclose(np.asarray(p),
+                                   np.asarray(LT)[o:o + pk.NB, o:],
+                                   atol=5e-5 * scale, rtol=1e-4)
+
+
+@pytest.mark.parametrize("m", [256, 512])
+def test_potrf_left_scan_matches_static(m):
+    """The fori_loop factor computes the same Schur complements as the
+    static form; f32 op-order differs only in dead masked lanes."""
+    M = jnp.asarray(_rand_spd(m, seed=m + 1).astype(np.float32))
+    LT1, W1 = normal_eq._blocked_potrf_left(M, 128)
+    LT2, W2 = normal_eq._potrf_left_scan(M, 128)
+    scale = float(jnp.max(jnp.abs(LT1)))
+    np.testing.assert_allclose(np.asarray(LT2), np.asarray(LT1),
+                               atol=5e-5 * scale, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(W2), np.asarray(W1),
+                               atol=5e-4, rtol=1e-3)
+
+
+def test_potrf_left_scan_vmap():
+    B, m = 2, 256
+    Ms = jnp.asarray(np.stack([_rand_spd(m, seed=40 + b).astype(np.float32)
+                               for b in range(B)]))
+    LT, W = jax.vmap(lambda M: normal_eq._potrf_left_scan(M, 128))(Ms)
+    assert LT.shape == (B, m, m) and W.shape == (B, m // 128, 128, 128)
+    for b in range(B):
+        ref = np.linalg.cholesky(np.asarray(Ms)[b].astype(np.float64)).T
+        np.testing.assert_allclose(np.asarray(LT)[b], ref, rtol=2e-3,
+                                   atol=5e-5 * np.abs(ref).max())
+
+
+def test_panels_factor_solve_roundtrip():
+    """normal_eq.factor + solve with the panels backend solves
+    (A D^2 A^T) y = rhs (includes the 128-padding path: m=200)."""
+    rng = np.random.default_rng(11)
+    m, n = 200, 400
+    A = rng.standard_normal((m, n)).astype(np.float32) / np.sqrt(n)
+    d2 = np.abs(rng.standard_normal(n)).astype(np.float32) + 0.1
+    rhs = rng.standard_normal(m).astype(np.float32)
+    opts = ipx.SolverOptions(dtype="float32", chol_backend="panels",
+                             refine_steps=2)
+    fac = normal_eq.factor(jnp.asarray(A), jnp.asarray(d2), opts)
+    assert bool(fac.ok)
+    assert len(fac.LTp) == 2 and fac.LTp[0].shape == (128, 256)
+    y = normal_eq.solve(fac, jnp.asarray(A), jnp.asarray(rhs), opts)
+    M = (A.astype(np.float64) * d2) @ A.astype(np.float64).T
+    y_ref = np.linalg.solve(M, rhs.astype(np.float64))
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=2e-4,
+                               atol=1e-4 * (1 + np.abs(y_ref).max()))
+
+
+def test_panels_backend_end_to_end():
+    from ipx.problem.generate import random_feasible_lp
+    g = random_feasible_lp(96, 192, seed=5)
+    sol = ipx.solve(g.c, g.A, g.b, presolve=False,
+                    options=ipx.SolverOptions(dtype="float32",
+                                              chol_backend="panels"))
+    assert sol.optimal, sol.status_name
+    rel = abs(sol.objective - g.obj_star) / (1 + abs(g.obj_star))
+    assert rel <= 2e-6, f"rel err {rel:.2e}"
+
+
+def test_panels_backend_batched():
+    from ipx.problem.generate import random_feasible_lp
+    from ipx.problem.lp import make_lp
+    gs = [random_feasible_lp(96, 192, seed=20 + i) for i in range(3)]
+    opts = ipx.SolverOptions(dtype="float32", chol_backend="panels",
+                             matvec_backend="fused")
+    sols = ipx.solve_batch([make_lp(g.c, g.A, g.b) for g in gs],
+                           options=opts)
+    for g, s in zip(gs, sols):
+        assert s.optimal, s.status_name
+        assert abs(s.objective - g.obj_star) / (1 + abs(g.obj_star)) <= 2e-6
