@@ -5,13 +5,23 @@ blocked Cholesky — at the largest real-chip-feasible sizes and appends one
 JSON line per run to ``benchmarks/large_lp_results.jsonl``:
 
     {"m": ..., "n": ..., "p": ..., "status": "OPTIMAL", "iterations": ...,
-     "rel_gap": ..., "seconds": ..., "peak_bytes": ...}
+     "rel_gap": ..., "seconds_total_incl_compile": ..., "seconds_solve_warm":
+     ..., "seconds_compile_est": ..., "peak_bytes": ..., ...}
+
+Timing split (VERDICT r3 weak #5): the first solve pays tracing+XLA
+compilation (minutes through the axon remote-compile tunnel); ``--warm``
+re-runs the identical solve in-process (jit cache hit) so
+``seconds_solve_warm`` is pure device time and ``seconds_compile_est`` is
+the difference.  ``peak_bytes`` records ``memory_stats()`` where the
+platform exposes it; through the axon tunnel it does not, and the row says
+so explicitly instead of a bare null.
 
 The LP is generated ON DEVICE (a known-optimum feasible instance, the same
 construction as problem.generate.random_feasible_lp) — at m=32k the A
 matrix alone is 8GB and cannot ride the host->device tunnel.
 
 Usage: python benchmarks/large_lp.py [--m 8192] [--n 0 (= 2m)] [--row 1]
+       [--warm] [--platform cpu (virtual mesh: row>1 forces host devices)]
        [--sweep]   # m in {4096, 8192, 16384, 24576} until OOM
 """
 from __future__ import annotations
@@ -25,14 +35,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_one(m: int, n: int, row: int) -> dict:
+def run_one(m: int, n: int, row: int, warm: bool) -> dict:
     import jax
     jax.config.update("jax_compilation_cache_dir", os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
-    import numpy as np
     import ipx
     from ipx import mesh as meshlib
 
@@ -56,21 +65,37 @@ def run_one(m: int, n: int, row: int) -> dict:
     c, A, b, obj_star = gen()
     obj_star = float(obj_star)
     mesh = meshlib.make_mesh(batch=1, row=row)
+    opts = ipx.SolverOptions(dtype="float32")
     t0 = time.perf_counter()
-    sol = ipx.solve_large(c, A, b, mesh=mesh,
-                          options=ipx.SolverOptions(dtype="float32"))
+    sol = ipx.solve_large(c, A, b, mesh=mesh, options=opts)
     dt = time.perf_counter() - t0
+    t_warm = None
+    if warm:
+        # identical call => in-process jit cache hit: pure device time
+        t1 = time.perf_counter()
+        sol = ipx.solve_large(c, A, b, mesh=mesh, options=opts)
+        t_warm = time.perf_counter() - t1
     dev = jax.devices()[0]
     stats = getattr(dev, "memory_stats", lambda: None)() or {}
+    peak = stats.get("peak_bytes_in_use")
     rel_err = abs(sol.objective - obj_star) / (1 + abs(obj_star))
-    return {
+    rec = {
         "m": m, "n": n, "p": row,
         "status": sol.status_name, "iterations": sol.iterations,
         "rel_gap": sol.rel_gap, "obj_rel_err_vs_known": rel_err,
         "seconds_total_incl_compile": round(dt, 2),
-        "peak_bytes": stats.get("peak_bytes_in_use"),
         "platform": dev.platform,
     }
+    if t_warm is not None:
+        rec["seconds_solve_warm"] = round(t_warm, 2)
+        rec["seconds_compile_est"] = round(dt - t_warm, 2)
+    if peak is not None:
+        rec["peak_bytes"] = peak
+    else:
+        rec["peak_bytes"] = None
+        rec["peak_bytes_note"] = ("memory_stats() not exposed by this "
+                                  "platform (axon tunnel)")
+    return rec
 
 
 def main() -> int:
@@ -78,16 +103,34 @@ def main() -> int:
     ap.add_argument("--m", type=int, default=8192)
     ap.add_argument("--n", type=int, default=0, help="0 = 2m")
     ap.add_argument("--row", type=int, default=1)
+    ap.add_argument("--warm", action="store_true",
+                    help="re-run the identical solve once (jit cache hit) "
+                         "to split compile vs device time in the row")
+    ap.add_argument("--platform", choices=["cpu", "tpu"], default=None,
+                    help="cpu = virtual mesh (row>1 devices forced via "
+                         "XLA_FLAGS before jax import)")
     ap.add_argument("--sweep", action="store_true")
+    ap.add_argument("--out", default=None,
+                    help="output jsonl (default: large_lp_results.jsonl)")
     args = ap.parse_args()
 
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "large_lp_results.jsonl")
+    if args.platform == "cpu" and args.row > 1:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count="
+                        f"{args.row}").strip()
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    out_path = args.out or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "large_lp_results.jsonl")
     sizes = ([4096, 8192, 16384, 24576] if args.sweep else [args.m])
     for m in sizes:
         n = args.n or 2 * m
         try:
-            rec = run_one(m, n, args.row)
+            rec = run_one(m, n, args.row, args.warm)
         except Exception as e:  # noqa: BLE001 — record OOM/compile failures
             rec = {"m": m, "n": n, "p": args.row,
                    "status": f"ERROR: {type(e).__name__}",

