@@ -94,7 +94,8 @@ def run_one(m: int, n: int, row: int, warm: bool) -> dict:
     else:
         rec["peak_bytes"] = None
         rec["peak_bytes_note"] = ("memory_stats() not exposed by this "
-                                  "platform (axon tunnel)")
+                                  "platform/backend (axon tunnel hides it "
+                                  "on tpu; jax cpu has none)")
     return rec
 
 

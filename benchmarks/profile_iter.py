@@ -146,9 +146,14 @@ def main() -> int:
             # consume L, W AND j: folding only diag(L) back lets XLA
             # dead-code-eliminate the entire W inversion (measured: "factor"
             # came out ~= assemble + potrf alone)
-            Ld = fac.LT if fac.LT.ndim >= 2 else fac.L
-            used = (jnp.abs(jnp.diagonal(Ld, axis1=-2, axis2=-1)[:, :1])
-                    + jnp.abs(fac.j[:, :1]))
+            if len(fac.LTp):
+                used = jnp.abs(fac.j[:, :1])
+                for p_ in fac.LTp:
+                    used = used + jnp.mean(jnp.abs(p_), axis=(1, 2))[:, None]
+            else:
+                Ld = fac.LT if fac.LT.ndim >= 2 else fac.L
+                used = (jnp.abs(jnp.diagonal(Ld, axis1=-2, axis2=-1)[:, :1])
+                        + jnp.abs(fac.j[:, :1]))
             if fac.W.ndim >= 3:
                 used = used + jnp.mean(jnp.abs(fac.W), axis=(1, 2, 3))[:, None]
             return d2 + one * used
@@ -211,6 +216,18 @@ def main() -> int:
             return Ms + one * used[:, None, None]
         out = jax.lax.fori_loop(0, k, body, Ms)
         return jnp.diagonal(out, axis1=-2, axis2=-1)
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def run_assemble_kernel(k, A, d2):
+        # the IN-STEP assembly for bf16 A: the whole-A-resident Mosaic
+        # split3 kernel (the plain "assemble" stage upcasts A to f32 first,
+        # so it measures the XLA block-recursive route instead)
+        from ipx.kernels import cholesky as pk
+
+        def body(_, d2):
+            M = pk.assemble_sym_batched(A, d2)
+            return d2 + one * jnp.mean(jnp.abs(M), axis=(1, 2))[:, None]
+        return jax.lax.fori_loop(0, k, body, d2)
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def run_panels_xla_factor(k, Ms):
@@ -355,6 +372,7 @@ def main() -> int:
         "step": (run_step, (blp, st0, fac_aat), sync_state),
         "factor": (run_factor, (blp, d2_0), sync_arr),
         "assemble": (run_assemble, (blp, d2_0), sync_arr),
+        "assemble_kernel": (run_assemble_kernel, (blp.A, d2_0), sync_arr),
         "precond": (run_precond, (L0, LT0, fac0.W, rhs_0), sync_arr),
         "ata": (run_ata, (blp.A, fac0.d2, rhs_0), sync_arr),
         "solve": (run_solve, (fac0, blp.A, rhs_0), sync_arr),

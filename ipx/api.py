@@ -212,7 +212,11 @@ def _solve_presolved(c, A, b, opts: SolverOptions) -> Solution:
         c = np.asarray(c, np.float64)
         A = np.asarray(A, np.float64)
         b = np.asarray(b, np.float64)
-    pres = _presolve(c, A, b)
+    # bf16 A-storage composes with scaling only if every scale factor is a
+    # power of two (exact in binary FP); arbitrary Ruiz factors silently
+    # round the scaled instance to bf16 and the reported rp_rel blows up
+    # to ~1e-3 while the reduced solve honestly reports OPTIMAL (r4 fix)
+    pres = _presolve(c, A, b, pow2_scales=(opts.a_storage == "bfloat16"))
 
     def _empty(status: int) -> Solution:
         x = np.zeros(A.shape[1])
@@ -267,7 +271,8 @@ def solve_general(glp, options: Optional[SolverOptions] = None) -> Solution:
         raise TypeError(f"solve_general expects GeneralLP, got {type(glp)}")
 
     c_s, A_s, b_s, _, post = to_standard_form(glp)
-    pres = presolve(c_s, A_s, b_s)
+    pres = presolve(c_s, A_s, b_s,
+                    pow2_scales=(opts.a_storage == "bfloat16"))
     off = float(getattr(glp, "obj_offset", 0.0))
     maximize = bool(getattr(glp, "maximize", False))
 

@@ -1350,7 +1350,7 @@ def _chol_solve_batched_panels_vmap(axis_size, in_batched, panels, W, b):
 
 
 def _assemble_sym_kernel(a_hbm, d2_hbm, m_hbm, Ab, d2b, Mb, h1, h2, h3,
-                         sems, *, m: int, n: int):
+                         sems, *, m: int, n: int, passes: int = 3):
     i = pl.program_id(0)
     ld_a = pltpu.make_async_copy(a_hbm.at[i], Ab, sems.at[0])
     ld_d = pltpu.make_async_copy(d2_hbm.at[i], d2b, sems.at[1])
@@ -1359,7 +1359,7 @@ def _assemble_sym_kernel(a_hbm, d2_hbm, m_hbm, Ab, d2b, Mb, h1, h2, h3,
     ld_a.wait()
     ld_d.wait()
     nb = m // NB
-    hs = (h1, h2, h3)
+    hs = (h1, h2, h3)[:passes]
     for bi in range(nb):
         # split3 of this row block's f32 (A * d2) operand, in registers:
         # exact bf16 terms, products accumulate exactly in f32 (same
@@ -1395,12 +1395,13 @@ def assemble_fits_kernel(m: int, n: int, a_itemsize: int) -> bool:
     return vmem <= (13 << 20)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _assemble_sym_impl(A, d2, interpret: bool | None = None):
+@functools.partial(jax.jit, static_argnames=("interpret", "passes"))
+def _assemble_sym_impl(A, d2, interpret: bool | None = None,
+                       passes: int = 3):
     if interpret is None:
         interpret = _interpret()
     B, m, n = A.shape
-    kernel = functools.partial(_assemble_sym_kernel, m=m, n=n)
+    kernel = functools.partial(_assemble_sym_kernel, m=m, n=n, passes=passes)
     return pl.pallas_call(
         kernel,
         grid=(B,),
@@ -1420,25 +1421,37 @@ def _assemble_sym_impl(A, d2, interpret: bool | None = None):
     )(A, d2[:, None, :])
 
 
-@jax.custom_batching.custom_vmap
-def assemble_sym_batched(A: jax.Array, d2: jax.Array):
+def assemble_sym_batched(A: jax.Array, d2: jax.Array, passes: int = 3):
     """Batched symmetric assembly  M[b] = (A[b] * d2[b]) @ A[b]^T  for
-    bf16-stored A at f32-faithful accuracy (in-kernel split3).  Gate
-    eligibility with :func:`assemble_fits_kernel`."""
-    return _assemble_sym_impl(A, d2)
+    bf16-stored A (in-kernel split of the f32 row operand: passes=3 is
+    f32-faithful, |err| <= 2^-24; passes=2 is the throughput form,
+    |err| <= 2^-16 — assembly_precision="high").  Gate eligibility with
+    :func:`assemble_fits_kernel`."""
+    return (_assemble_sym3 if passes == 3 else _assemble_sym2)(A, d2)
 
 
-@assemble_sym_batched.def_vmap
-def _assemble_sym_batched_vmap(axis_size, in_batched, A, d2):
-    ab, db = in_batched
-    if not ab:
-        A = jnp.broadcast_to(A[None], (axis_size, *A.shape))
-    if not db:
-        d2 = jnp.broadcast_to(d2[None], (axis_size, *d2.shape))
-    V, B = A.shape[0], A.shape[1]
-    M = assemble_sym_batched(A.reshape(V * B, *A.shape[2:]),
-                             d2.reshape(V * B, *d2.shape[2:]))
-    return M.reshape(V, B, *M.shape[1:]), True
+def _make_assemble_sym(passes: int):
+    @jax.custom_batching.custom_vmap
+    def impl(A: jax.Array, d2: jax.Array):
+        return _assemble_sym_impl(A, d2, passes=passes)
+
+    @impl.def_vmap
+    def _vmap(axis_size, in_batched, A, d2):
+        ab, db = in_batched
+        if not ab:
+            A = jnp.broadcast_to(A[None], (axis_size, *A.shape))
+        if not db:
+            d2 = jnp.broadcast_to(d2[None], (axis_size, *d2.shape))
+        V, B = A.shape[0], A.shape[1]
+        M = impl(A.reshape(V * B, *A.shape[2:]),
+                 d2.reshape(V * B, *d2.shape[2:]))
+        return M.reshape(V, B, *M.shape[1:]), True
+
+    return impl
+
+
+_assemble_sym3 = _make_assemble_sym(3)
+_assemble_sym2 = _make_assemble_sym(2)
 
 
 # ---------------------------------------------------------------------------

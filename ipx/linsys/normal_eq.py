@@ -107,14 +107,22 @@ def assemble(A: jax.Array, d2: jax.Array, precision: str = "highest"):
     keeps all f32 bits.
     """
     m = A.shape[0]
-    split3 = A.dtype == jnp.bfloat16 and precision == "highest"
+    # Split depth of the f32 (A*d2) operand against bf16-stored A:
+    # "highest" = 3 exact passes (f32-faithful), "high" = 2 passes
+    # (|err| <= 2^-16 — sufficient for a PRECONDITIONER factor whose
+    # accuracy is restored by matrix-free CG refinement; throughput A/B,
+    # the convergence probe adjudicates).  1-pass rounding is the known
+    # failed experiment — never offered here.
+    passes = {"highest": 3, "high": 2}.get(precision, 0)
+    split3 = A.dtype == jnp.bfloat16 and passes > 0
 
     if split3:
         from ipx.kernels import cholesky as pk
         if pk.assemble_fits_kernel(m, A.shape[1], A.dtype.itemsize):
             # whole-A-resident Mosaic tile kernel: HBM traffic is exactly
-            # A in + M out; in-register split3 per row block
-            return pk.assemble_sym_batched(A[None], d2[None])[0]
+            # A in + M out; in-register split per row block
+            return pk.assemble_sym_batched(A[None], d2[None],
+                                           passes=passes)[0]
 
     def blk_mm(alo, ahi, blo, bhi):
         # Product of row blocks  (A*d2)[alo:ahi] @ A[blo:bhi].T  — expressed
@@ -127,7 +135,7 @@ def assemble(A: jax.Array, d2: jax.Array, precision: str = "highest"):
         if split3:
             Wb = A[alo:ahi].astype(jnp.float32) * d2[None, :]
             out = None
-            for _ in range(3):
+            for _ in range(passes):
                 h = Wb.astype(jnp.bfloat16)
                 Wb = Wb - h.astype(jnp.float32)
                 p = jax.lax.dot_general(h, A[blo:bhi],

@@ -77,9 +77,27 @@ def ruiz_equilibrate(A: np.ndarray, iters: int = 10, tol: float = 1e-2):
     return r, c
 
 
+def _pow2_round(v: np.ndarray) -> np.ndarray:
+    """Snap positive scale factors to the nearest power of two.
+
+    Power-of-2 scaling is EXACT in binary floating point: it changes only
+    the exponent, so a bf16-representable A stays bf16-representable after
+    row/col scaling.  Needed when the solve stores A in bf16
+    (SolverOptions.a_storage): arbitrary Ruiz factors would silently round
+    the scaled instance by ~2^-9 relative — measured 1.3e-3 objective
+    error on a bf16-exact instance that solves to 3.6e-7 unscaled.  Cost:
+    equilibration quality within 2x of optimal per row/col — irrelevant to
+    the f32 IPM's conditioning."""
+    return np.exp2(np.round(np.log2(np.maximum(v, np.finfo(float).tiny))))
+
+
 def presolve(c: np.ndarray, A: np.ndarray, b: np.ndarray,
-             ruiz_iters: int = 10, feas_tol: float = 1e-9) -> PresolveResult:
-    """Reduce and equilibrate a standard-form LP (host, float64)."""
+             ruiz_iters: int = 10, feas_tol: float = 1e-9,
+             pow2_scales: bool = False) -> PresolveResult:
+    """Reduce and equilibrate a standard-form LP (host, float64).
+
+    ``pow2_scales`` rounds every scale factor to a power of two (exact in
+    binary FP) — set when the downstream solve stores A in bf16."""
     c = np.asarray(c, np.float64).copy()
     A = np.asarray(A, np.float64).copy()
     b = np.asarray(b, np.float64).copy()
@@ -177,6 +195,9 @@ def presolve(c: np.ndarray, A: np.ndarray, b: np.ndarray,
 
     if status == "ok" and Ar.size:
         r, s = ruiz_equilibrate(Ar, iters=ruiz_iters)
+        if pow2_scales:
+            r = _pow2_round(r)
+            s = _pow2_round(s)
     else:
         r = np.ones(Ar.shape[0])
         s = np.ones(Ar.shape[1])
@@ -197,6 +218,8 @@ def presolve(c: np.ndarray, A: np.ndarray, b: np.ndarray,
     # this form, 5/6 with the symmetric form).
     if status == "ok" and c_sc.size:
         cost_fix = 1.0 / np.sqrt(np.maximum(np.abs(c_sc), 1.0))
+        if pow2_scales:
+            cost_fix = _pow2_round(cost_fix)
         A_sc = A_sc * cost_fix[None, :]
         c_sc = c_sc * cost_fix
         s = s * cost_fix

@@ -110,3 +110,47 @@ def test_assemble_symmetric_recursion():
         assert np.abs(M - M.T).max() == 0.0
         rel = np.abs(M - ref).max() / np.abs(ref).max()
         assert rel < 5e-6, f"assembly err {rel:.2e} at m={m}"
+
+
+def test_bf16_storage_composes_with_presolve():
+    """presolve scaling must not silently round a bf16-exact instance:
+    scale factors are snapped to powers of two when a_storage='bfloat16'
+    (exact in binary FP), so the scaled A stays bf16-representable.
+    Regression: arbitrary Ruiz factors gave OPTIMAL with a ~1e-3 objective
+    error / rp_rel on exactly this construction (r4)."""
+    import numpy as np
+    import jax.numpy as jnp
+    import ipx
+
+    rng = np.random.default_rng(3)
+    m, n = 96, 192
+    A = np.asarray(jnp.asarray(
+        rng.normal(size=(m, n)).astype(np.float32) / np.sqrt(n),
+        jnp.bfloat16).astype(jnp.float32))
+    perm = rng.permutation(n)
+    x_star = np.zeros(n, np.float32)
+    x_star[perm[:m]] = rng.uniform(0.5, 2.0, m).astype(np.float32)
+    s_star = np.zeros(n, np.float32)
+    s_star[perm[m:]] = rng.uniform(0.5, 2.0, n - m).astype(np.float32)
+    y_star = rng.normal(size=m).astype(np.float32)
+    c = A.T @ y_star + s_star
+    b = A @ x_star
+    obj_star = float(c @ x_star)
+    sol = ipx.solve(c, A, b, options=ipx.SolverOptions(
+        dtype="float32", a_storage="bfloat16"))
+    rel = abs(sol.objective - obj_star) / (1 + abs(obj_star))
+    assert sol.optimal, sol.status_name
+    assert rel <= 2e-6, f"objective rel err {rel:.2e}"
+    assert sol.rp_rel <= 1e-5, f"primal residual {sol.rp_rel:.2e}"
+
+
+def test_presolve_pow2_scales_exact():
+    """_pow2_round returns exact powers of two near the input scale."""
+    import numpy as np
+    from ipx.problem.presolve import _pow2_round
+
+    v = np.array([0.3, 1.0, 1.5, 2.9, 1e-8, 7.3e5])
+    p = _pow2_round(v)
+    exps = np.log2(p)
+    np.testing.assert_array_equal(exps, np.round(exps))
+    assert np.all((p >= v / 2) & (p <= v * 2))
