@@ -194,7 +194,58 @@ def _maybe_augmented_fallback(lp: LP, st, opts: SolverOptions):
     # The warm seed can itself be too decentered (it came from a stalled
     # run); a cold augmented solve is the reliable second stage.
     st3 = _run_single(lp, aug)
-    return st3 if int(st3.status) == int(St.OPTIMAL) else st
+    if int(st3.status) == int(St.OPTIMAL):
+        return st3
+    # Final rung: the Schur-form quasi-definite route (capped scaling +
+    # refinement against the true augmented operator) warm-started from the
+    # stalled best iterate — the same rescue solve_batch uses in-batch.
+    # Measured on the fuzz battery's knife-edge case (50x55 degenerate,
+    # spread 1.5, seed 3): augmented LU stalls at 2.9e-6 while this rung
+    # converges to 1.5e-7 with margin.
+    asch = opts.replace(linsys="augmented_schur")
+    st4 = _run_single_resumed(
+        lp, asch, mehrotra.warm_start_state(lp, st.best_x, st.best_y,
+                                            st.best_s, asch))
+    return st4 if int(st4.status) == int(St.OPTIMAL) else st
+
+
+def _primal_polish(A, b, x, s, max_m: int = 8192):
+    """Host-side f64 primal polish (crossover-lite, SURVEY.md §7 hard
+    part 1).
+
+    The f32 IPM's primal residual floors near eps*sqrt(n)*|x|; on
+    DEGENERATE instances with spread-out Ruiz scales the postsolved
+    objective error is ~|y| * ||Ax-b||, which can sit 2-4x above the fuzz
+    battery's tolerance even when the rel-gap contract is met.  One f64
+    least-squares correction restricted to the estimated support
+    S = {x > s} (the complementarity partition) removes it: solve
+    A_S dx = b - A x, leaving off-support zeros untouched so no clipping
+    fights the projection (measured on the knife-edge 50x55 degenerate
+    instance: obj err 2.3e-5 -> 9.2e-7, rp 5.2e-4 -> 7.3e-7 absolute).
+
+    Returns the polished x only when it strictly improves ||Ax-b||_inf and
+    keeps x >= 0; otherwise the input x. Skipped for m > max_m (host
+    lstsq cost)."""
+    if A.shape[0] > max_m:
+        return x
+    S = x > np.maximum(s, 0.0)
+    if not S.any():
+        return x
+    r = b - A @ x
+    try:
+        dxS, *_ = np.linalg.lstsq(A[:, S], r, rcond=None)
+    except np.linalg.LinAlgError:
+        return x
+    xp = x.copy()
+    xp[S] = xp[S] + dxS
+    # tiny negatives from the correction are rounding; anything material
+    # means the support estimate was wrong — reject
+    if xp.min() < -1e-8 * (1.0 + float(np.abs(x).max())):
+        return x
+    xp = np.maximum(xp, 0.0)
+    if np.abs(A @ xp - b).max(initial=0.0) < np.abs(r).max(initial=0.0):
+        return xp
+    return x
 
 
 def _solve_presolved(c, A, b, opts: SolverOptions) -> Solution:
@@ -243,6 +294,8 @@ def _solve_presolved(c, A, b, opts: SolverOptions) -> Solution:
     x = pres.postsolve_x(red.x)
     y = pres.postsolve_y(red.y)
     s = c - A.T @ y
+    if int(red.status) == int(St.OPTIMAL):
+        x = _primal_polish(A, b, x, s)
     pobj = float(c @ x)
     rp_rel = float(np.abs(A @ x - b).max(initial=0.0)
                    / (1 + np.abs(b).max(initial=0.0)))
@@ -311,6 +364,12 @@ def solve_general(glp, options: Optional[SolverOptions] = None) -> Solution:
     z = np.zeros(post.n_std)
     z[pres.fixed_mask] = pres.fixed_vals[pres.fixed_mask]
     z[pres.kept_cols] = pres.col_scale * red.x
+    if int(red.status) == int(St.OPTIMAL):
+        # f64 support-restricted primal polish on the std-form triple
+        # (same as _solve_presolved; see _primal_polish)
+        s_std = c_s - A_s.T @ pres.postsolve_y(red.y)
+        z = _primal_polish(np.asarray(A_s, np.float64),
+                           np.asarray(b_s, np.float64), z, s_std)
     x = post.x_orig(z)
 
     # postsolve duals to ORIGINAL problem units (ADVICE r1): std-form rows

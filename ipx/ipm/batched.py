@@ -45,7 +45,8 @@ def batch_starting_state(lp: LP, opts: SolverOptions):
     def start(lp_i: LP):
         x0, y0, s0, fac = mehrotra.starting_point(lp_i, opts)
         mu0 = jnp.vdot(x0, s0) / lp_i.n
-        return init_state(x0, y0, s0, mu0, opts.max_iter), fac
+        st = init_state(x0, y0, s0, mu0, opts.max_iter)
+        return mehrotra.refresh_residuals(lp_i, st, opts), fac
 
     return jax.vmap(start)(lp.with_a_storage(opts))
 
@@ -66,6 +67,12 @@ def run_batch(lp: LP, opts: SolverOptions,
     start, fac_aat = batch_starting_state(lp, opts)
     if state0 is None:
         state0 = start
+    else:
+        # resumed / warm-started batches carry stale (or zero) residual
+        # fields — refresh once outside the loop
+        state0 = jax.vmap(
+            lambda lp_i, st: mehrotra.refresh_residuals(lp_i, st, opts)
+        )(lp, state0)
     step = jax.vmap(
         lambda lp_i, st, f: mehrotra.step_masked(lp_i, st, opts, f))
 

@@ -99,6 +99,23 @@ def _scalars(lp: LP, x, y, s, prec: str, fused: bool = False):
     return rp, rd, mu, rp_rel, rd_rel, rel_gap, pobj
 
 
+def refresh_residuals(lp: LP, state: IPMState, opts: SolverOptions
+                      ) -> IPMState:
+    """Fill the carried residual fields (rp, rd, mu) from the iterate.
+
+    The step reads residuals from the state instead of re-streaming A at
+    entry — the previous step's exit already measured them on the SAME
+    iterate (bit-identical values, one A stream per iteration saved).
+    Every run entry point calls this once outside the loop, so resumed
+    checkpoints / warm starts / hand-built states need no stored
+    residuals."""
+    import dataclasses
+    fuse = normal_eq.use_fused_matvec(opts, lp.A)
+    rp, rd, mu, *_ = _scalars(lp, state.x, state.y, state.s,
+                              opts.matmul_precision, fused=fuse)
+    return dataclasses.replace(state, rp=rp, rd=rd, mu=mu)
+
+
 def mehrotra_step(lp: LP, state: IPMState, opts: SolverOptions,
                   fac_aat=None) -> IPMState:
     """One predictor-corrector iteration (pure; fixed shapes).
@@ -115,7 +132,11 @@ def mehrotra_step(lp: LP, state: IPMState, opts: SolverOptions,
     n = lp.n
     fuse = normal_eq.use_fused_matvec(opts, A)
 
-    rp, rd, mu, *_ = _scalars(lp, x, y, s, prec, fused=fuse)
+    # Residuals are CARRIED: the previous step's exit _scalars measured
+    # them on this exact iterate (refresh_residuals seeds the first
+    # iteration) — recomputing here would re-stream A for bit-identical
+    # values.
+    rp, rd, mu = state.rp, state.rd, state.mu
     mu_safe = jnp.maximum(mu, jnp.asarray(1e-30, dtype))
 
     # The feasibility projection is a NORMAL-EQUATIONS pathology fix; the
@@ -366,7 +387,7 @@ def mehrotra_step(lp: LP, state: IPMState, opts: SolverOptions,
     s_new = jnp.maximum(s + alpha_d * ds, floor)
 
     # --- convergence / failure bookkeeping -----------------------------------
-    _, _, mu_n, rp_rel, rd_rel, rel_gap, pobj = _scalars(
+    rp_n, rd_n, mu_n, rp_rel, rd_rel, rel_gap, pobj = _scalars(
         lp, x_new, y_new, s_new, prec, fused=fuse)
 
     finite = (jnp.all(jnp.isfinite(x_new)) & jnp.all(jnp.isfinite(y_new))
@@ -497,6 +518,10 @@ def mehrotra_step(lp: LP, state: IPMState, opts: SolverOptions,
         best_x=best_x, best_y=best_y, best_s=best_s, best_merit=best_merit,
         reg_boost=reg_boost, reg_floor=reg_floor,
         trace=trace,
+        # carried residuals follow the same keep-select as the iterate
+        # (a reverted non-finite step keeps the old point AND its residuals)
+        rp=jnp.where(keep, rp_n, state.rp),
+        rd=jnp.where(keep, rd_n, state.rd),
     )
 
 
@@ -556,6 +581,7 @@ def run_single(lp: LP, opts: SolverOptions, state0: IPMState | None = None
     if state0 is None:
         mu0 = jnp.vdot(x0, s0) / lp.n
         state0 = init_state(x0, y0, s0, mu0, opts.max_iter)
+    state0 = refresh_residuals(lp, state0, opts)
 
     def cond(st: IPMState):
         return (st.status == jnp.int32(Status.RUNNING)) & (st.it < opts.max_iter)

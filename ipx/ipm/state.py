@@ -42,6 +42,14 @@ class IPMState:
                             # boosts decay back down after success but not
                             # below the level this problem has shown it needs
     trace: jax.Array        # (max_iter, TRACE_COLS)
+    rp: jax.Array           # (m,) primal residual A x - b at the iterate —
+                            # carried so the step's entry does not re-stream
+                            # A to recompute what the previous exit already
+                            # measured (one A stream per iteration saved).
+                            # Refreshed from the iterate at run entry
+                            # (mehrotra.refresh_residuals), so checkpoints
+                            # and warm starts never need to store it.
+    rd: jax.Array           # (n,) dual residual A^T y + s - c (same deal)
 
 
 def init_state(x, y, s, mu0, max_iter: int) -> IPMState:
@@ -57,4 +65,6 @@ def init_state(x, y, s, mu0, max_iter: int) -> IPMState:
         reg_boost=jnp.ones((), dtype),
         reg_floor=jnp.ones((), dtype),
         trace=jnp.zeros((max_iter, TRACE_COLS), dtype),
+        # placeholders: refresh_residuals fills these before any step runs
+        rp=jnp.zeros_like(y), rd=jnp.zeros_like(x),
     )

@@ -35,7 +35,8 @@ from ipx.ipm.state import IPMState, TRACE_COLS
 
 _STATE_FIELDS = ("x", "y", "s", "it", "status", "mu", "mu0", "rp_rel",
                  "rd_rel", "rel_gap", "best_x", "best_y", "best_s",
-                 "best_merit", "reg_boost", "reg_floor", "trace")
+                 "best_merit", "reg_boost", "reg_floor", "trace",
+                 "rp", "rd")
 
 
 def save_state(path: str, state: IPMState) -> None:
@@ -51,6 +52,12 @@ def load_state(path: str) -> IPMState:
     # snapshots written before the adaptive decay floor existed: never-failed
     if "reg_floor" not in kw:
         kw["reg_floor"] = jnp.ones_like(kw["reg_boost"])
+    # snapshots written before residuals were carried: zeros are fine —
+    # every run entry point refreshes them from the iterate before stepping
+    # (mehrotra.refresh_residuals)
+    if "rp" not in kw:
+        kw["rp"] = jnp.zeros_like(kw["y"])
+        kw["rd"] = jnp.zeros_like(kw["x"])
     return IPMState(**kw)
 
 

@@ -48,6 +48,9 @@ def _lp_and_state(m=16, n=32, seed=0, boost=1e3, floor=10.0):
     st = dataclasses.replace(st,
                              reg_boost=jnp.asarray(boost, jnp.float32),
                              reg_floor=jnp.asarray(floor, jnp.float32))
+    # hand-built states must seed the carried residuals like run entry does
+    st = mehrotra.refresh_residuals(lp, st, ipx.SolverOptions(
+        dtype="float32", max_iter=8))
     return lp, st
 
 
