@@ -40,12 +40,15 @@ def main() -> int:
     p.add_argument("--chol-backend",
                    choices=["xla", "pallas", "pallas_left", "panels",
                             "hybrid", "blocked", "blocked_left"],
-                   default="blocked_left",
-                   help="factorization backend A/B (production: "
-                        "blocked_left — XLA-level left-looking blocked "
-                        "factor + Pallas pair solves; measured 1713 vs "
-                        "1699 (blocked) vs 1252 (hybrid) inst-iters/s at "
-                        "B=256 bf16)")
+                   default="panels",
+                   help="factorization backend A/B (production: panels — "
+                        "XLA left-looking factor emitting suffix-only "
+                        "panels + the Mosaic panel pair-solve; measured "
+                        "2663 vs 2554 (blocked_left) inst-iters/s at "
+                        "B=256 bf16, r4 same-day A/B; the panel "
+                        "pair-solve runs at the HBM stream floor where "
+                        "the (m,m)-LT kernel's strided stripe DMA was "
+                        "8.8x off)")
     p.add_argument("--chunks", type=int, default=1,
                    help="split the batch into this many sequential "
                         "device-program chunks (the B=1024 contract batch "

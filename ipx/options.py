@@ -233,7 +233,7 @@ class SolverOptions:
         A to bf16 so the instances stay exact).  Keyword overrides are
         applied on top.
         """
-        base = dict(dtype="float32", chol_backend="blocked_left",
+        base = dict(dtype="float32", chol_backend="panels",
                     matvec_backend="fused", refine_steps=1,
                     proj_cg_iters=0, refine_solve_cg=0)
         base.update(kw)
