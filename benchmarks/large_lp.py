@@ -35,7 +35,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_one(m: int, n: int, row: int, warm: bool) -> dict:
+def run_one(m: int, n: int, row: int, warm: bool,
+            a_storage: str = "float32") -> dict:
     import jax
     jax.config.update("jax_compilation_cache_dir", os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -52,6 +53,11 @@ def run_one(m: int, n: int, row: int, warm: bool) -> dict:
     def gen():
         A = jax.random.normal(k1, (m, n), jnp.float32) / jnp.sqrt(
             jnp.asarray(n, jnp.float32))
+        if a_storage == "bfloat16":
+            # round the DATA to bf16 so bf16 storage is lossless: b, c and
+            # the constructed optimum are then exact for the solved
+            # instance (same recipe as bench.py's generator)
+            A = A.astype(jnp.bfloat16).astype(jnp.float32)
         perm = jax.random.permutation(k2, n)
         x_star = jnp.zeros(n, jnp.float32).at[perm[:m]].set(
             jax.random.uniform(k3, (m,), jnp.float32, 0.5, 2.0))
@@ -60,12 +66,14 @@ def run_one(m: int, n: int, row: int, warm: bool) -> dict:
         y_star = jax.random.normal(k5, (m,), jnp.float32)
         c = A.T @ y_star + s_star
         b = A @ x_star
+        if a_storage == "bfloat16":
+            A = A.astype(jnp.bfloat16)   # lossless: rounded above
         return c, A, b, jnp.vdot(c, x_star)
 
     c, A, b, obj_star = gen()
     obj_star = float(obj_star)
     mesh = meshlib.make_mesh(batch=1, row=row)
-    opts = ipx.SolverOptions(dtype="float32")
+    opts = ipx.SolverOptions(dtype="float32", a_storage=a_storage)
     t0 = time.perf_counter()
     sol = ipx.solve_large(c, A, b, mesh=mesh, options=opts)
     dt = time.perf_counter() - t0
@@ -80,7 +88,7 @@ def run_one(m: int, n: int, row: int, warm: bool) -> dict:
     peak = stats.get("peak_bytes_in_use")
     rel_err = abs(sol.objective - obj_star) / (1 + abs(obj_star))
     rec = {
-        "m": m, "n": n, "p": row,
+        "m": m, "n": n, "p": row, "a_storage": a_storage,
         "status": sol.status_name, "iterations": sol.iterations,
         "rel_gap": sol.rel_gap, "obj_rel_err_vs_known": rel_err,
         "seconds_total_incl_compile": round(dt, 2),
@@ -89,6 +97,13 @@ def run_one(m: int, n: int, row: int, warm: bool) -> dict:
     if t_warm is not None:
         rec["seconds_solve_warm"] = round(t_warm, 2)
         rec["seconds_compile_est"] = round(dt - t_warm, 2)
+        if t_warm > dt:
+            # seen once at m=16384: the warm rerun took LONGER than the
+            # first call incl. compile — tunnel-side sync/variance, not a
+            # real split; flag so a reader doesn't trust the negative est
+            rec["timing_note"] = ("warm rerun slower than first call "
+                                  "(tunnel sync variance): compile/solve "
+                                  "split unreliable for this row")
     if peak is not None:
         rec["peak_bytes"] = peak
     else:
@@ -104,6 +119,11 @@ def main() -> int:
     ap.add_argument("--m", type=int, default=8192)
     ap.add_argument("--n", type=int, default=0, help="0 = 2m")
     ap.add_argument("--row", type=int, default=1)
+    ap.add_argument("--a-storage", choices=["float32", "bfloat16"],
+                    default="float32",
+                    help="bf16 A storage (instance rounded to bf16 so it "
+                         "stays exact): halves A residency — the m=32k "
+                         "config needs it on a 16GB chip")
     ap.add_argument("--warm", action="store_true",
                     help="re-run the identical solve once (jit cache hit) "
                          "to split compile vs device time in the row")
@@ -131,7 +151,7 @@ def main() -> int:
     for m in sizes:
         n = args.n or 2 * m
         try:
-            rec = run_one(m, n, args.row, args.warm)
+            rec = run_one(m, n, args.row, args.warm, args.a_storage)
         except Exception as e:  # noqa: BLE001 — record OOM/compile failures
             rec = {"m": m, "n": n, "p": args.row,
                    "status": f"ERROR: {type(e).__name__}",

@@ -433,7 +433,17 @@ def solve_large(c, A=None, b=None, mesh=None,
         lp = c
     else:
         lp = make_lp(c, A, b)
-    lp = lp.astype(dtype_of(opts.dtype))
+    if opts.a_storage == "bfloat16":
+        # keep (or make) A bf16 WITHOUT an f32 round-trip: at m=32k an f32
+        # A is 8.6GB and the astype below would materialize it on device
+        import dataclasses as _dc
+        lp = _dc.replace(
+            lp.with_a_storage(opts),
+            c=lp.c.astype(dtype_of(opts.dtype)),
+            b=lp.b.astype(dtype_of(opts.dtype)),
+            obj_offset=lp.obj_offset.astype(dtype_of(opts.dtype)))
+    else:
+        lp = lp.astype(dtype_of(opts.dtype))
 
     if mesh is None:
         mesh = meshlib.make_mesh(batch=1, row=len(jax.devices()))

@@ -258,6 +258,52 @@ def x_slice(x, i, mp: int):
     return lax.dynamic_slice(x, (i * mp,), (mp,))
 
 
+def _assemble_partial_scan(A_loc, d2_loc, blk: int = 2048):
+    """Local unscaled partial  (A_loc * d2_loc) @ A_loc^T  as a fori_loop
+    over column blocks — for bf16-STORED A (config 4 at m=32k: an f32
+    materialization of A alone would be 8.6GB and OOM the chip).  Each
+    block upcasts (m, blk) to f32 in registers/VMEM scope, splits the f32
+    (A*d2) operand into 3 exact bf16 passes against the bf16 block (the
+    same algebra as normal_eq._mm_split3_vs_bf16 — f32-faithful since
+    bf16 x bf16 products accumulate exactly in f32), and accumulates into
+    the (m, m) f32 partial.  O(1) program size in n."""
+    m, nl = A_loc.shape
+    w = min(blk, nl)
+    while nl % w:
+        w //= 2
+    nb = nl // w
+
+    def body(t, acc):
+        Ab = lax.dynamic_slice(A_loc, (0, t * w), (m, w))
+        d2b = lax.dynamic_slice(d2_loc, (t * w,), (w,))
+        Wb = Ab.astype(jnp.float32) * d2b[None, :]
+        out = None
+        for _ in range(3):
+            h = Wb.astype(jnp.bfloat16)
+            Wb = Wb - h.astype(jnp.float32)
+            prod = jax.lax.dot_general(h, Ab, (((1,), (1,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+            out = prod if out is None else out + prod
+        return acc + out
+
+    return lax.fori_loop(0, nb, body, jnp.zeros((m, m), jnp.float32))
+
+
+def _diag_scan(A_loc, d2_loc, blk: int = 2048):
+    """diag contribution  (A_loc^2) @ d2_loc  for bf16 A, blockwise f32."""
+    m, nl = A_loc.shape
+    w = min(blk, nl)
+    while nl % w:
+        w //= 2
+
+    def body(t, acc):
+        Ab = lax.dynamic_slice(A_loc, (0, t * w), (m, w)).astype(jnp.float32)
+        d2b = lax.dynamic_slice(d2_loc, (t * w,), (w,))
+        return acc + jnp.square(Ab) @ d2b
+
+    return lax.fori_loop(0, nl // w, body, jnp.zeros((m,), jnp.float32))
+
+
 def factor(A: jax.Array, d2: jax.Array, opts: SolverOptions,
            reg_scale=1.0) -> SchurFactor:
     """Sharded assembly + distributed Cholesky of the scaled normal matrix."""
@@ -267,21 +313,38 @@ def factor(A: jax.Array, d2: jax.Array, opts: SolverOptions,
     if m % p:
         raise ValueError(f"m={m} must be divisible by row-shards p={p}")
     mp = m // p
+    bf16 = A.dtype == jnp.bfloat16
+    fdt = jnp.float32 if bf16 else A.dtype
 
     # Global Jacobi scale from diag(M) = (A*A) @ d2 — one sharded matvec,
-    # no assembly needed.
-    diag = mv(A * A, d2, opts.matmul_precision)
-    tiny = jnp.asarray(jnp.finfo(A.dtype).tiny, A.dtype)
+    # no assembly needed.  bf16-stored A: blockwise f32 upcast (A*A in
+    # bf16 would round the squares).
+    if bf16:
+        diag = jax.shard_map(
+            lambda Al, dl: lax.psum(_diag_scan(Al, dl), ROW_AXIS),
+            mesh=mesh, in_specs=(P(None, ROW_AXIS), P(ROW_AXIS)),
+            out_specs=P(), check_vma=False)(A, d2)
+    else:
+        diag = mv(A * A, d2, opts.matmul_precision)
+    tiny = jnp.asarray(jnp.finfo(fdt).tiny, fdt)
     j = lax.rsqrt(jnp.maximum(diag, tiny))
-    reg = (jnp.asarray(opts.reg, A.dtype)
-           * jnp.asarray(reg_scale, A.dtype))
+    reg = (jnp.asarray(opts.reg, fdt)
+           * jnp.asarray(reg_scale, fdt))
 
     def local(A_loc, d2_loc, j_rep):
         # A_loc: (m, n/p) this device's columns; j_rep: (m,) replicated.
         i = lax.axis_index(ROW_AXIS)
-        scaled = (A_loc * d2_loc[None, :]) * j_rep[:, None]
-        partial = mm(scaled, (A_loc * j_rep[:, None]).T,
-                     opts.matmul_precision)          # (m, m) local partial
+        if bf16:
+            # blockwise split3 assembly of the UNSCALED partial (no f32
+            # A materialization; see _assemble_partial_scan), Jacobi
+            # scaling applied to the scattered panel (a diagonal scale
+            # commutes with the sum)
+            partial = _assemble_partial_scan(A_loc, d2_loc)
+            partial = partial * j_rep[:, None] * j_rep[None, :]
+        else:
+            scaled = (A_loc * d2_loc[None, :]) * j_rep[:, None]
+            partial = mm(scaled, (A_loc * j_rep[:, None]).T,
+                         opts.matmul_precision)      # (m, m) local partial
         panel = lax.psum_scatter(partial, ROW_AXIS, scatter_dimension=0,
                                  tiled=True)          # (m/p, m)
         # add reg I to my diagonal block

@@ -142,3 +142,35 @@ def test_sharded_blocked_diag_path_matches_dense():
     assert Wd.shape == (m // 128, 128, 128)
     np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_dense),
                                rtol=5e-3, atol=5e-4)
+
+
+def test_sharded_bf16_storage():
+    """bf16-stored A on the sharded route (config 4 at m=32k needs it:
+    f32 A alone is 8.6GB): blockwise split3 assembly + f32-upcast diag
+    (schur._assemble_partial_scan / _diag_scan), instance rounded to bf16
+    so the constructed optimum stays exact."""
+    import numpy as np
+    import jax.numpy as jnp
+    import ipx
+    from ipx import mesh as meshlib
+
+    rng = np.random.default_rng(7)
+    m, n = 256, 512
+    A = np.asarray(jnp.asarray(
+        rng.normal(size=(m, n)).astype(np.float32) / np.sqrt(n),
+        jnp.bfloat16).astype(jnp.float32))
+    perm = rng.permutation(n)
+    x_star = np.zeros(n, np.float32)
+    x_star[perm[:m]] = rng.uniform(0.5, 2.0, m).astype(np.float32)
+    s_star = np.zeros(n, np.float32)
+    s_star[perm[m:]] = rng.uniform(0.5, 2.0, n - m).astype(np.float32)
+    y_star = rng.normal(size=m).astype(np.float32)
+    c = A.T @ y_star + s_star
+    b = A @ x_star
+    obj_star = float(c @ x_star)
+    mesh = meshlib.make_mesh(batch=1, row=min(8, len(jax.devices())))
+    sol = ipx.solve_large(c, A, b, mesh=mesh, options=ipx.SolverOptions(
+        dtype="float32", a_storage="bfloat16"))
+    rel = abs(sol.objective - obj_star) / (1 + abs(obj_star))
+    assert sol.optimal, sol.status_name
+    assert rel <= 2e-6, f"rel err {rel:.2e}"
