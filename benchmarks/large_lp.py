@@ -36,7 +36,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run_one(m: int, n: int, row: int, warm: bool,
-            a_storage: str = "float32") -> dict:
+            a_storage: str = "float32", project: bool = True) -> dict:
     import jax
     jax.config.update("jax_compilation_cache_dir", os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -73,7 +73,8 @@ def run_one(m: int, n: int, row: int, warm: bool,
     c, A, b, obj_star = gen()
     obj_star = float(obj_star)
     mesh = meshlib.make_mesh(batch=1, row=row)
-    opts = ipx.SolverOptions(dtype="float32", a_storage=a_storage)
+    opts = ipx.SolverOptions(dtype="float32", a_storage=a_storage,
+                             project_feasibility=project)
     t0 = time.perf_counter()
     sol = ipx.solve_large(c, A, b, mesh=mesh, options=opts)
     dt = time.perf_counter() - t0
@@ -89,6 +90,7 @@ def run_one(m: int, n: int, row: int, warm: bool,
     rel_err = abs(sol.objective - obj_star) / (1 + abs(obj_star))
     rec = {
         "m": m, "n": n, "p": row, "a_storage": a_storage,
+        "project_feasibility": project,
         "status": sol.status_name, "iterations": sol.iterations,
         "rel_gap": sol.rel_gap, "obj_rel_err_vs_known": rel_err,
         "seconds_total_incl_compile": round(dt, 2),
@@ -124,6 +126,11 @@ def main() -> int:
                     help="bf16 A storage (instance rounded to bf16 so it "
                          "stays exact): halves A residency — the m=32k "
                          "config needs it on a 16GB chip")
+    ap.add_argument("--no-project", action="store_true",
+                    help="disable the feasibility projection: its "
+                         "loop-invariant AA^T factor keeps a second (m, m) "
+                         "panel alive for the whole solve — 4.3GB at "
+                         "m=32k, the difference between fitting and not")
     ap.add_argument("--warm", action="store_true",
                     help="re-run the identical solve once (jit cache hit) "
                          "to split compile vs device time in the row")
@@ -151,7 +158,8 @@ def main() -> int:
     for m in sizes:
         n = args.n or 2 * m
         try:
-            rec = run_one(m, n, args.row, args.warm, args.a_storage)
+            rec = run_one(m, n, args.row, args.warm, args.a_storage,
+                          project=not args.no_project)
         except Exception as e:  # noqa: BLE001 — record OOM/compile failures
             rec = {"m": m, "n": n, "p": args.row,
                    "status": f"ERROR: {type(e).__name__}",

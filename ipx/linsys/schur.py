@@ -141,8 +141,10 @@ def _dist_cholesky(panel, p: int, mp: int):
     for k in range(p):
         o = k * mp
         blk = panel[:, o:o + mp]                    # my M[i,k] block (mp,mp)
-        # broadcast M_kk (device k's diagonal block)
-        Mkk = lax.psum(jnp.where(i == k, blk, 0.0), ROW_AXIS)
+        # broadcast M_kk (device k's diagonal block); p=1 owns it already
+        # (the where+psum pair would cost a dead (m, m) copy at m=32k)
+        Mkk = blk if p == 1 else lax.psum(
+            jnp.where(i == k, blk, 0.0), ROW_AXIS)
         if _dblk(mp) == _NB and mp >= 4096:
             # O(1)-program-size factor: at mp >= 8192 the statically
             # unrolled panels (mp/128 shrinking-shape HLO steps) blew the
