@@ -121,7 +121,8 @@ def worker(pid: int, nproc: int, coord: str) -> int:
                "instance_iters_per_s": round(B / t_iter, 2),
                "note": "2 OS processes over jax.distributed (DCN bootstrap "
                        "path), virtual CPU devices"}
-        out_path = os.path.join(HERE, "scaling_r3_virtual.jsonl")
+        out_path = os.environ.get(
+            "IPX_SCALING_OUT", os.path.join(HERE, "scaling_r4.jsonl"))
         with open(out_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
         print("RESULT", json.dumps(rec), flush=True)

@@ -394,7 +394,13 @@ def mehrotra_step(lp: LP, state: IPMState, opts: SolverOptions,
               & jnp.all(jnp.isfinite(s_new)) & jnp.isfinite(rel_gap) & fac.ok)
     # Static (trace-time) feasibility floor at the dtype representation limit.
     eps = float(jnp.finfo(dtype).eps)
-    tol_feas = max(opts.tol_feas, opts.feas_eps_mult * eps * float(n) ** 0.5)
+    # Representation floor: for (Ruiz-)normalized data the f32 matvec
+    # error is a tree-summed random walk ~ c*eps, n-INDEPENDENT (the old
+    # eps*sqrt(n) bound assumed |A| entries O(1); at n=2048 it was 2.2e-5
+    # — 20x looser than the user's 1e-6, and a final step that DAMAGED
+    # feasibility to just under it was certified OPTIMAL: the r4 bf16
+    # config-4 runs landed at the floor with ~1e-2 objective error).
+    tol_feas = max(opts.tol_feas, opts.feas_eps_mult * eps)
     converged = ((rel_gap <= opts.tol) & (rp_rel <= tol_feas)
                  & (rd_rel <= tol_feas))
     # mu floor: below this, f32 conditioning degrades instead of improving

@@ -109,11 +109,15 @@ class SolverOptions:
     # neighborhood guard; keeps f32's d2 = x/s spread factorable).
     backoff_candidates: int = 8
     neighborhood_gamma: float = 1e-2
-    # Effective feasibility tolerance is max(tol_feas, feas_eps_mult*eps*sqrt(n)):
-    # an exactly feasible x ROUNDED to f32 already shows a residual of
-    # ~eps*sqrt(n)*|x|, so demanding less than the representation floor would
-    # spin forever.  Never binding in f64.
-    feas_eps_mult: float = 4.0
+    # Effective feasibility tolerance is max(tol_feas, feas_eps_mult*eps):
+    # an exactly feasible x ROUNDED to f32 shows a residual at the f32
+    # matvec rounding floor — for (Ruiz-)normalized data a tree-summed
+    # random walk ~ c*eps, n-INDEPENDENT.  (The r1-r3 form multiplied by
+    # sqrt(n), which exceeds tol_feas=1e-6 for every n >= 5 and silently
+    # loosened the OPTIMAL certificate — at n=16384 a solution with
+    # rp_rel 6e-5 and 1e-2 objective error could certify.  Never binding
+    # in f64.)
+    feas_eps_mult: float = 16.0
 
     # --- linear-system backend ---------------------------------------------
     linsys: str = "dense"       # "dense" (normal equations, single/vmap)
