@@ -73,6 +73,13 @@ def main() -> int:
                         "2054 vs 1713 inst-iters/s at B=256 (probe 4/4 "
                         "<=9.8e-7; median iters 13 vs 11, but est solves/s "
                         "also improved 158 vs 156).  Library default -1.")
+    p.add_argument("--cg", type=int, default=1,
+                   help="PCG iterations for the MAIN predictor/corrector "
+                        "normal-eq solves (SolverOptions.refine_steps; "
+                        "0 = direct pair-solve, correction left entirely "
+                        "to the KKT refinement sweeps — saves one "
+                        "matrix-free operator apply + one pair-solve per "
+                        "solve; the probe adjudicates)")
     p.add_argument("--refines", type=int, default=2,
                    help="KKT refinement sweeps for BOTH predictor and "
                         "corrector (A/B knob; the split3-assembly "
@@ -144,7 +151,8 @@ def main() -> int:
         opt_kw["kkt_refine_steps"] = args.refines
         opt_kw["predictor_refine_steps"] = args.refines
     opts = ipx.SolverOptions(dtype="float32", max_iter=args.iters + 1,
-                             chol_backend=args.chol_backend, refine_steps=1,
+                             chol_backend=args.chol_backend,
+                             refine_steps=args.cg,
                              matvec_backend="fused",
                              gondzio_correctors=args.gondzio,
                              refine_solve_cg=args.refine_solve_cg,
@@ -259,7 +267,7 @@ def main() -> int:
     sols = ipx.solve_batch(
         probe, options=ipx.SolverOptions(dtype="float32", max_iter=48,
                                          chol_backend=args.chol_backend,
-                                         refine_steps=1,
+                                         refine_steps=args.cg,
                                          matvec_backend="fused",
                                          refine_solve_cg=args.refine_solve_cg,
                                          a_storage=args.a_storage, **opt_kw))
