@@ -772,9 +772,28 @@ def _solve_chunk_db(B: int, m: int) -> int:
     cap = max(1, ((9 << 20) + (1 << 19)) // per)
     bc = 1
     for d in range(1, min(B, cap) + 1):
-        if B % d == 0:
+        # POWER-OF-TWO divisors only: Mosaic rounds a (BC, m) VMEM scratch
+        # allocation up to the sublane tile (4 for f32), so a non-power-of-
+        # two BC (e.g. 3, from an odd rescue sub-batch) makes every full-ref
+        # read a misaligned memref slice — real-chip compile error "Slice
+        # shape along dimension 0 must be aligned to tiling (4), but is 3".
+        # Callers additionally pad B (see _pad_batch_pow2) so an aligned
+        # divisor always exists.
+        if B % d == 0 and (d & (d - 1)) == 0:
             bc = d
     return bc
+
+
+def _pad_batch_pow2(B: int) -> int:
+    """Batch padding target for the Mosaic pair-solve kernels: next power
+    of two below 8, next multiple of 8 above — every divisor chain the
+    chunk pickers produce is then a power of two (sublane-tile aligned)."""
+    if B < 8:
+        p = 1
+        while p < B:
+            p <<= 1
+        return p
+    return -(-B // 8) * 8
 
 
 # Production default for the pair-solve kernel: pipelined double-buffered
@@ -839,8 +858,20 @@ def chol_solve_batched_lt(LT, W, b):
     # pipeline resolved HERE (outside the inner jit) so the module flag is
     # honored per-trace instead of being baked into the first compile's
     # default-argument cache entry (ADVICE r2 #1)
-    return _chol_solve_pair_lt_impl(LT, W, b, interpret=_interpret(),
-                                    pipeline=PAIR_SOLVE_PIPELINE)
+    B = LT.shape[0]
+    Bp = _pad_batch_pow2(B)
+    if Bp != B:
+        # zero-padded instances are algebraically inert (the kernel is pure
+        # matmuls against precomputed inverses — no divisions), and the
+        # sublane-tile alignment they buy is REQUIRED on real Mosaic: odd
+        # sub-batches (rescue-ladder subsets) otherwise fail to compile.
+        pad = Bp - B
+        LT, W, b = (jnp.concatenate(
+            [a, jnp.zeros((pad, *a.shape[1:]), a.dtype)], axis=0)
+            for a in (LT, W, b))
+    x = _chol_solve_pair_lt_impl(LT, W, b, interpret=_interpret(),
+                                 pipeline=PAIR_SOLVE_PIPELINE)
+    return x[:B] if Bp != B else x
 
 
 @chol_solve_batched_lt.def_vmap
@@ -1315,7 +1346,20 @@ def chol_solve_batched_panels(panels, W, b):
     """Solve (L L^T) x = b from the suffix-only panel tuple of
     :func:`factor_lt_panels` — the pipelined pair-solve kernel reading the
     panels directly (no stacked LT is ever materialized)."""
-    return _chol_solve_panels_impl(tuple(panels), W, b)
+    B = b.shape[0]
+    Bp = _pad_batch_pow2(B)
+    if Bp != B:
+        # see chol_solve_batched_lt: sublane-tile alignment for odd
+        # (rescue-ladder) sub-batches — zero padding is inert here too
+        pad = Bp - B
+        panels = tuple(jnp.concatenate(
+            [p, jnp.zeros((pad, *p.shape[1:]), p.dtype)], axis=0)
+            for p in panels)
+        W, b = (jnp.concatenate(
+            [a, jnp.zeros((pad, *a.shape[1:]), a.dtype)], axis=0)
+            for a in (W, b))
+    x = _chol_solve_panels_impl(tuple(panels), W, b)
+    return x[:B] if Bp != B else x
 
 
 @chol_solve_batched_panels.def_vmap

@@ -163,9 +163,16 @@ def _dist_cholesky(panel, p: int, mp: int):
             Wb = _invert_lower_blocks(Lkk0[None],
                                       base=min(32, mp))
         wds.append(Wb)
-        Lik = jnp.where(
-            i > k, _blk_trisolve_right(blk, LTkk, Wb, mp),
-            jnp.where(i == k, LTkk.T, jnp.zeros_like(blk)))
+        if p == 1:
+            # single-shard: this device IS the diagonal block owner; the
+            # off-diagonal trisolve branch is dead but only cheaply so if
+            # XLA const-folds axis_index of the size-1 axis — make it
+            # structural (at m=32k the trisolve carry is another 4.3GB)
+            Lik = LTkk.T
+        else:
+            Lik = jnp.where(
+                i > k, _blk_trisolve_right(blk, LTkk, Wb, mp),
+                jnp.where(i == k, LTkk.T, jnp.zeros_like(blk)))
         col = lax.all_gather(Lik, ROW_AXIS, tiled=True)   # (m, mp)
         if o + mp < m:
             # trailing syrk on my rows: M[i, k+1:] -= L[i,k] @ col[k+1:,:]^T
@@ -260,15 +267,23 @@ def x_slice(x, i, mp: int):
     return lax.dynamic_slice(x, (i * mp,), (mp,))
 
 
-def _assemble_partial_scan(A_loc, d2_loc, blk: int = 2048):
-    """Local unscaled partial  (A_loc * d2_loc) @ A_loc^T  as a fori_loop
-    over column blocks — for bf16-STORED A (config 4 at m=32k: an f32
+def _assemble_partial_scan(A_loc, d2_loc, blk: int = 2048, j_rep=None,
+                           acc0=None):
+    """Local partial  (A_loc * d2_loc) @ A_loc^T  as a fori_loop over
+    column blocks — for bf16-STORED A (config 4 at m=32k: an f32
     materialization of A alone would be 8.6GB and OOM the chip).  Each
     block upcasts (m, blk) to f32 in registers/VMEM scope, splits the f32
     (A*d2) operand into 3 exact bf16 passes against the bf16 block (the
     same algebra as normal_eq._mm_split3_vs_bf16 — f32-faithful since
     bf16 x bf16 products accumulate exactly in f32), and accumulates into
-    the (m, m) f32 partial.  O(1) program size in n."""
+    the (m, m) f32 partial.  O(1) program size in n.
+
+    ``j_rep`` (optional) applies the Jacobi scale j (W A^T) j PER BLOCK
+    inside the loop (the scale commutes with the column-block sum), and
+    ``acc0`` seeds the accumulator (e.g. the pre-scaled regularization
+    diagonal) — both fold what would otherwise be separate (m, m)
+    temporaries into the single loop-carried buffer, the difference
+    between fitting and not at m=32k on a 16GB chip."""
     m, nl = A_loc.shape
     w = min(blk, nl)
     while nl % w:
@@ -286,9 +301,13 @@ def _assemble_partial_scan(A_loc, d2_loc, blk: int = 2048):
             prod = jax.lax.dot_general(h, Ab, (((1,), (1,)), ((), ())),
                                        preferred_element_type=jnp.float32)
             out = prod if out is None else out + prod
+        if j_rep is not None:
+            out = out * j_rep[:, None] * j_rep[None, :]
         return acc + out
 
-    return lax.fori_loop(0, nb, body, jnp.zeros((m, m), jnp.float32))
+    if acc0 is None:
+        acc0 = jnp.zeros((m, m), jnp.float32)
+    return lax.fori_loop(0, nb, body, acc0)
 
 
 def _diag_scan(A_loc, d2_loc, blk: int = 2048):
@@ -337,22 +356,21 @@ def factor(A: jax.Array, d2: jax.Array, opts: SolverOptions,
         # A_loc: (m, n/p) this device's columns; j_rep: (m,) replicated.
         i = lax.axis_index(ROW_AXIS)
         if bf16:
-            # blockwise split3 assembly of the UNSCALED partial (no f32
-            # A materialization; see _assemble_partial_scan), Jacobi
-            # scaling applied to the scattered panel (a diagonal scale
-            # commutes with the sum)
-            partial = _assemble_partial_scan(A_loc, d2_loc)
-            partial = partial * j_rep[:, None] * j_rep[None, :]
+            # blockwise split3 assembly with the Jacobi scale folded INTO
+            # the accumulation loop (no separate scaled (m, m) copy; see
+            # _assemble_partial_scan) — no f32 A materialization either
+            partial = _assemble_partial_scan(A_loc, d2_loc, j_rep=j_rep)
         else:
             scaled = (A_loc * d2_loc[None, :]) * j_rep[:, None]
             partial = mm(scaled, (A_loc * j_rep[:, None]).T,
                          opts.matmul_precision)      # (m, m) local partial
         panel = lax.psum_scatter(partial, ROW_AXIS, scatter_dimension=0,
                                  tiled=True)          # (m/p, m)
-        # add reg I to my diagonal block
-        rows = jax.lax.broadcasted_iota(jnp.int32, (mp, m), 0) + i * mp
-        cols = jax.lax.broadcasted_iota(jnp.int32, (mp, m), 1)
-        panel = panel + reg * (rows == cols).astype(panel.dtype)
+        # add reg I to my diagonal block: an mp-element scatter-add on the
+        # diagonal (the r3 iota-mask form materialized two (mp, m) index
+        # buffers — 8.6GB of int32 at m=32k p=1)
+        dr = jnp.arange(mp)
+        panel = panel.at[dr, dr + i * mp].add(reg)
         return _dist_cholesky(panel, p, mp)
 
     Lpanel, Wd = jax.shard_map(

@@ -125,3 +125,38 @@ def test_panels_backend_batched():
     for g, s in zip(gs, sols):
         assert s.optimal, s.status_name
         assert abs(s.objective - g.obj_star) / (1 + abs(g.obj_star)) <= 2e-6
+
+
+def test_pair_solves_odd_batch_padding():
+    """Odd (non-power-of-two) batch sizes through BOTH Mosaic pair-solve
+    entries.  On real Mosaic a (3, m) VMEM scratch is rounded up to the
+    4-sublane tile, making every full-ref read a misaligned slice — the
+    r4 probe crash ("Slice shape along dimension 0 must be aligned to
+    tiling (4), but is 3") from a 3-instance rescue sub-batch.  The
+    entries now pad the batch to a power-of-two/multiple-of-8 and slice
+    back; this pins the padding algebra (the Mosaic alignment itself is
+    only observable on hardware)."""
+    import numpy as np
+    from ipx.kernels import cholesky as pk
+    from ipx.linsys import normal_eq
+
+    rng = np.random.default_rng(7)
+    m = 256
+    for B in (1, 3, 5, 6, 12):
+        A = jnp.asarray(rng.standard_normal((B, m, m)).astype(np.float32)) / 16
+        M = jnp.matmul(A, jnp.swapaxes(A, 1, 2)) + 2 * jnp.eye(m)[None]
+        b = jnp.asarray(rng.standard_normal((B, m)).astype(np.float32))
+        ref = jnp.linalg.solve(M, b[..., None])[..., 0]
+        L = jnp.linalg.cholesky(M)
+        LT = jnp.swapaxes(L, 1, 2)
+        blocks = jnp.stack([L[:, j * 128:(j + 1) * 128,
+                              j * 128:(j + 1) * 128]
+                            for j in range(m // 128)], axis=1)
+        W = jax.vmap(normal_eq._invert_lower_blocks)(blocks)
+        x1 = pk.chol_solve_batched_lt(LT, W, b)
+        panels, Wp = jax.vmap(
+            lambda Mi: normal_eq._blocked_potrf_left_panels(Mi, 128))(M)
+        x2 = pk.chol_solve_batched_panels(panels, Wp, b)
+        scale = float(jnp.max(jnp.abs(ref)))
+        assert float(jnp.max(jnp.abs(x1 - ref))) / scale < 1e-4, B
+        assert float(jnp.max(jnp.abs(x2 - ref))) / scale < 1e-4, B
