@@ -625,11 +625,14 @@ def _solve_pair_lt_kernel(lt_hbm, w_hbm, b_hbm, x_hbm, S, Wb, rv, xv,
 
 
 def _solve_chunk(B: int, m: int) -> int:
-    """Largest divisor of B with the (BC, NB, m) stripe under ~8MB VMEM."""
+    """Largest power-of-two divisor of B with the (BC, NB, m) stripe under
+    ~8MB VMEM (power-of-two for the same Mosaic sublane-tile alignment as
+    :func:`_solve_chunk_db`, and so the pipelined/non-pipelined kernels
+    chunk identically — their bitwise-equality pin depends on it)."""
     cap = max(1, (8 << 20) // (NB * m * 4))
     bc = 1
     for d in range(1, min(B, cap) + 1):
-        if B % d == 0:
+        if B % d == 0 and (d & (d - 1)) == 0:
             bc = d
     return bc
 

@@ -144,7 +144,11 @@ def test_pair_solves_odd_batch_padding():
     m = 256
     for B in (1, 3, 5, 6, 12):
         A = jnp.asarray(rng.standard_normal((B, m, m)).astype(np.float32)) / 16
-        M = jnp.matmul(A, jnp.swapaxes(A, 1, 2)) + 2 * jnp.eye(m)[None]
+        # all-f32 construction: the suite runs with jax_enable_x64, where a
+        # default-dtype eye would silently promote the whole chain to f64
+        # and the f32 kernel's ref stores would reject the mixed dtypes
+        M = (jnp.matmul(A, jnp.swapaxes(A, 1, 2))
+             + 2 * jnp.eye(m, dtype=jnp.float32)[None])
         b = jnp.asarray(rng.standard_normal((B, m)).astype(np.float32))
         ref = jnp.linalg.solve(M, b[..., None])[..., 0]
         L = jnp.linalg.cholesky(M)
