@@ -264,13 +264,20 @@ def main() -> int:
     probe = jax.tree_util.tree_map(
         lambda *leaves: jnp.concatenate(leaves, axis=0), *probe_parts)
     probe_B = int(probe.c.shape[0])
+    # augmented_fallback=False: the probe must certify the TIMED config
+    # itself.  The r4 cg0 A/B showed why — its probe read "4/4 OPTIMAL,
+    # median 2 iterations", which was really "stage-1 STALL on 2+/4
+    # instances, rescued by the augmented ladder": a config whose real
+    # solves pay a stall + warm-started second program is not the config
+    # the headline timed.
     sols = ipx.solve_batch(
         probe, options=ipx.SolverOptions(dtype="float32", max_iter=48,
                                          chol_backend=args.chol_backend,
                                          refine_steps=args.cg,
                                          matvec_backend="fused",
                                          refine_solve_cg=args.refine_solve_cg,
-                                         a_storage=args.a_storage, **opt_kw))
+                                         a_storage=args.a_storage,
+                                         augmented_fallback=False, **opt_kw))
     gaps = [s.rel_gap for s in sols]
     n_opt = sum(s.optimal for s in sols)
     iters = [s.iterations for s in sols]
@@ -308,6 +315,8 @@ def main() -> int:
             "proj_cg_iters": args.proj_cg_iters,
             "est_lps_solved_per_s": round(solves_per_s, 2),
             "probe_optimal": f"{n_opt}/{probe_B}",
+            "probe_no_rescue": True,
+            "probe_statuses": [s.status_name for s in sols],
             "probe_max_rel_gap": float(np.max(gaps)) if gaps else None,
             "probe_median_iters": med_it,
             "est_tflops": round(est_tflops, 2),

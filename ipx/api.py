@@ -52,7 +52,9 @@ class Solution:
         """Classic IPM iteration log rendered from the on-device trace
         (reference component R14 equivalent; SURVEY.md §5.5)."""
         lines = ["iter        mu     rp_rel     rd_rel    rel_gap  alpha_p  alpha_d    sigma"]
-        for i in range(self.iterations):
+        # rescued solves report CUMULATIVE iterations across ladder rungs;
+        # the trace holds only the final rung's rows
+        for i in range(min(self.iterations, len(self.trace))):
             mu, rp, rd, gap, ap, ad, sg, _ = self.trace[i]
             lines.append(f"{i:4d}  {mu:9.2e}  {rp:9.2e}  {rd:9.2e}  "
                          f"{gap:9.2e}  {ap:7.4f}  {ad:7.4f}  {sg:7.4f}")
@@ -188,14 +190,16 @@ def _maybe_augmented_fallback(lp: LP, st, opts: SolverOptions):
     aug = opts.replace(linsys="augmented")
     state0 = mehrotra.warm_start_state(lp, st.best_x, st.best_y, st.best_s,
                                        aug)
+    import dataclasses as _dc
     st2 = _run_single_resumed(lp, aug, state0)
     if int(st2.status) == int(St.OPTIMAL):
-        return st2
+        # cumulative iterations across rungs (r4 reporting fix)
+        return _dc.replace(st2, it=st2.it + st.it)
     # The warm seed can itself be too decentered (it came from a stalled
     # run); a cold augmented solve is the reliable second stage.
     st3 = _run_single(lp, aug)
     if int(st3.status) == int(St.OPTIMAL):
-        return st3
+        return _dc.replace(st3, it=st3.it + st.it)
     # Final rung: the Schur-form quasi-definite route (capped scaling +
     # refinement against the true augmented operator) warm-started from the
     # stalled best iterate — the same rescue solve_batch uses in-batch.
@@ -206,7 +210,9 @@ def _maybe_augmented_fallback(lp: LP, st, opts: SolverOptions):
     st4 = _run_single_resumed(
         lp, asch, mehrotra.warm_start_state(lp, st.best_x, st.best_y,
                                             st.best_s, asch))
-    return st4 if int(st4.status) == int(St.OPTIMAL) else st
+    if int(st4.status) == int(St.OPTIMAL):
+        return _dc.replace(st4, it=st4.it + st.it)
+    return st
 
 
 def _primal_polish(A, b, x, s, max_m: int = 8192):
@@ -592,6 +598,13 @@ def solve_batch(lps, options: Optional[SolverOptions] = None) -> list:
         fixed = np.asarray(sub_st.status) == int(Status.OPTIMAL)
         if fixed.any():
             take = idx[fixed]
+            # report CUMULATIVE iterations across both stages (same fix as
+            # solve_large r4: a rescued member's `it` otherwise records
+            # only the warm-started retry — the r4 cg0 bench probe showed
+            # "median 2 iterations" for full solves, which is really
+            # "stage-1 stall + 2 rescue steps")
+            import dataclasses as _dc
+            sub_st = _dc.replace(sub_st, it=sub_st.it + st_h.it[idx])
 
             def merge(a, b):
                 a = a.copy()
