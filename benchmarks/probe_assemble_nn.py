@@ -222,15 +222,20 @@ def main():
     Mnn = assemble_nn(A, At, d2, passes=3)
     a64 = np.asarray(A[0], np.float64)
     ref = (a64 * np.asarray(d2[0], np.float64)) @ a64.T
-    Mik = assemble_nn_inkernel(A, d2, passes=3)
     err_nt = float(np.abs(np.asarray(Mnt[0]) - ref).max() / np.abs(ref).max())
     err_nn = float(np.abs(np.asarray(Mnn[0]) - ref).max() / np.abs(ref).max())
     agree = float(np.abs(np.asarray(Mnt[0]) - np.asarray(Mnn[0])).max())
-    agree_ik = float(np.abs(np.asarray(Mnt[0]) - np.asarray(Mik[0])).max())
     print(f"rel err vs f64: NT={err_nt:.3e} NN={err_nn:.3e} "
-          f"|NT-NN|max={agree:.3e} |NT-NNik|max={agree_ik:.3e}", flush=True)
+          f"|NT-NN|max={agree:.3e}", flush=True)
     assert err_nn < 1e-6, "NN variant inaccurate"
-    assert agree_ik == 0.0, "in-kernel NN variant disagrees"
+    if args.quick:
+        # in-kernel transpose variant: interpret-only check — on real
+        # Mosaic its Ab+Atb+Mb residency is 17.3MB VMEM stack, over the
+        # 16MB budget (measured compile OOM at B=256, m=1024, n=2048)
+        Mik = assemble_nn_inkernel(A, d2, passes=3)
+        agree_ik = float(np.abs(np.asarray(Mnt[0]) - np.asarray(Mik[0])).max())
+        print(f"|NT-NNik|max={agree_ik:.3e}", flush=True)
+        assert agree_ik == 0.0, "in-kernel NN variant disagrees"
 
     if args.quick:
         print("quick check OK")
@@ -245,12 +250,9 @@ def main():
         t_nn_tr = timed(
             lambda A, d2, p=passes: assemble_nn(A, jnp.swapaxes(A, 1, 2),
                                                 d2, passes=p), A, d2)
-        t_ik = timed(functools.partial(assemble_nn_inkernel, passes=passes),
-                     A, d2)
         rows.append({"passes": passes, "ms_nt": round(t_nt * 1e3, 3),
                      "ms_nn": round(t_nn * 1e3, 3),
-                     "ms_nn_incl_transpose": round(t_nn_tr * 1e3, 3),
-                     "ms_nn_inkernel": round(t_ik * 1e3, 3)})
+                     "ms_nn_incl_transpose": round(t_nn_tr * 1e3, 3)})
         print(json.dumps(rows[-1]), flush=True)
     with open("/root/repo/benchmarks/probe_assemble_nn.jsonl", "a") as f:
         for r in rows:
