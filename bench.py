@@ -80,6 +80,14 @@ def main() -> int:
                         "to the KKT refinement sweeps — saves one "
                         "matrix-free operator apply + one pair-solve per "
                         "solve; the probe adjudicates)")
+    p.add_argument("--refactor-period", type=int, default=1,
+                   help="factor the normal matrix once per this many IPM "
+                        "iterations; stale steps solve with the previous "
+                        "factor as CG preconditioner against the fresh "
+                        "matrix-free operator (SolverOptions."
+                        "refactor_period; --stale-cg sets their PCG depth)")
+    p.add_argument("--stale-cg", type=int, default=2,
+                   help="PCG iterations for stale-factor steps")
     p.add_argument("--refines", type=int, default=2,
                    help="KKT refinement sweeps for BOTH predictor and "
                         "corrector (A/B knob; the split3-assembly "
@@ -143,6 +151,9 @@ def main() -> int:
     # The correctness probe below runs the SAME config to convergence and
     # reports its achieved rel gap alongside the timing.
     opt_kw = {}
+    if args.refactor_period != 1:
+        opt_kw["refactor_period"] = args.refactor_period
+        opt_kw["stale_solve_cg"] = args.stale_cg
     if args.assembly_precision != "highest":
         opt_kw["assembly_precision"] = args.assembly_precision
     if args.proj_cg_iters is not None:
@@ -224,6 +235,9 @@ def main() -> int:
     # sync point is an explicit device->host scalar fetch — immune to any
     # platform quirk in block_until_ready.
     k1 = max(2, args.iters // 4)
+    if args.refactor_period > 1:
+        # fixed-iteration counts must be whole refactor periods
+        k1 = args.refactor_period * -(-k1 // args.refactor_period)
     k2 = k1 * 3
 
     def run_k(k):

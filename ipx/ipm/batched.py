@@ -80,8 +80,29 @@ def run_batch(lp: LP, opts: SolverOptions,
         running = st.status == jnp.int32(Status.RUNNING)
         return jnp.any(running & (st.it < opts.max_iter))
 
-    def body(st: IPMState):
-        return step(lp, st, fac_aat)
+    if opts.refactor_period == 1:
+        def body(st: IPMState):
+            return step(lp, st, fac_aat)
+    else:
+        # factor ONCE per body; trailing steps reuse it as a stale
+        # preconditioner (SolverOptions.refactor_period)
+        from ipx.linsys import normal_eq as _ne
+        stale = opts.replace(refine_steps=opts.stale_solve_cg)
+        step_fresh = jax.vmap(
+            lambda lp_i, st, f, fc: mehrotra.step_masked(
+                lp_i, st, opts, f, fc))
+        step_stale = jax.vmap(
+            lambda lp_i, st, f, fc: mehrotra.step_masked(
+                lp_i, st, stale, f, fc))
+
+        def body(st: IPMState):
+            fac = jax.vmap(
+                lambda a, d, rb: _ne.factor(a, d, opts, reg_scale=rb))(
+                lp.A, st.x / st.s, st.reg_boost)
+            st = step_fresh(lp, st, fac_aat, fac)
+            for _ in range(opts.refactor_period - 1):
+                st = step_stale(lp, st, fac_aat, fac)
+            return st
 
     final = lax.while_loop(cond, body, state0)
     return jax.vmap(lambda st: mehrotra.finalize_status(st, opts))(final)
@@ -101,7 +122,29 @@ def run_batch_fixed_iters(lp: LP, state: IPMState, num_iters: int,
         step = jax.vmap(
             lambda lp_i, st: mehrotra.mehrotra_step(lp_i, st, opts))
         return lax.fori_loop(0, num_iters, lambda _, st: step(lp, st), state)
-    step = jax.vmap(
-        lambda lp_i, st, f: mehrotra.mehrotra_step(lp_i, st, opts, f))
-    return lax.fori_loop(0, num_iters,
-                         lambda _, st: step(lp, st, fac_aat), state)
+    if opts.refactor_period == 1:
+        step = jax.vmap(
+            lambda lp_i, st, f: mehrotra.mehrotra_step(lp_i, st, opts, f))
+        return lax.fori_loop(0, num_iters,
+                             lambda _, st: step(lp, st, fac_aat), state)
+    # refactor_period > 1: one factor per `period` steps (the benchmarked
+    # unit is then `period` IPM iterations per fori body)
+    from ipx.linsys import normal_eq as _ne
+    assert num_iters % opts.refactor_period == 0, (
+        "fixed-iteration count must be a multiple of refactor_period")
+    stale = opts.replace(refine_steps=opts.stale_solve_cg)
+    step_fresh = jax.vmap(
+        lambda lp_i, st, f, fc: mehrotra.mehrotra_step(lp_i, st, opts, f, fc))
+    step_stale = jax.vmap(
+        lambda lp_i, st, f, fc: mehrotra.mehrotra_step(lp_i, st, stale, f, fc))
+
+    def body(_, st):
+        fac = jax.vmap(
+            lambda a, d, rb: _ne.factor(a, d, opts, reg_scale=rb))(
+            lp.A, st.x / st.s, st.reg_boost)
+        st = step_fresh(lp, st, fac_aat, fac)
+        for _k in range(opts.refactor_period - 1):
+            st = step_stale(lp, st, fac_aat, fac)
+        return st
+
+    return lax.fori_loop(0, num_iters // opts.refactor_period, body, state)

@@ -117,13 +117,21 @@ def refresh_residuals(lp: LP, state: IPMState, opts: SolverOptions
 
 
 def mehrotra_step(lp: LP, state: IPMState, opts: SolverOptions,
-                  fac_aat=None) -> IPMState:
+                  fac_aat=None, fac=None) -> IPMState:
     """One predictor-corrector iteration (pure; fixed shapes).
 
     ``fac_aat`` is the loop-invariant Cholesky factor of A A^T (from the
     starting point); when given, the corrector direction is projected back
     onto the null-space condition A dx = -rp, canceling the f32 feasibility
     drift that the ill-conditioned D^2 injects near convergence.
+
+    ``fac`` injects a PRE-COMPUTED normal-equations factor (the
+    ``refactor_period`` throughput lever — see SolverOptions): the step
+    then skips its own factorization and solves with the given (possibly
+    one-iteration-stale) factor as CG preconditioner.  ``fac.d2`` is
+    replaced with THIS iterate's scaling, so the matrix-free Krylov
+    operator and all KKT refinement residuals target the true current
+    system; only the preconditioner lags.
     """
     A = lp.A
     x, y, s = state.x, state.y, state.s
@@ -155,7 +163,11 @@ def mehrotra_step(lp: LP, state: IPMState, opts: SolverOptions,
     # the ratio test.  f32 PSD loss near convergence is handled by the
     # cross-iteration regularization escalation below (state.reg_boost).
     d2 = x / s
-    fac = normal_eq.factor(A, d2, opts, reg_scale=state.reg_boost)
+    if fac is None:
+        fac = normal_eq.factor(A, d2, opts, reg_scale=state.reg_boost)
+    else:
+        import dataclasses as _dc
+        fac = _dc.replace(fac, d2=d2)
 
     # Options for the normal-eq solves INSIDE refinement sweeps: the sweep
     # rhs is an already-small KKT residual, so a cheaper solve (fewer CG
@@ -532,13 +544,13 @@ def mehrotra_step(lp: LP, state: IPMState, opts: SolverOptions,
 
 
 def step_masked(lp: LP, state: IPMState, opts: SolverOptions,
-                fac_aat=None) -> IPMState:
+                fac_aat=None, fac=None) -> IPMState:
     """Step only while RUNNING; converged/failed instances are frozen.
 
     Written with ``where`` (not ``cond``) so it is vmap-safe: under vmap a
     cond becomes a select anyway (SURVEY.md §7 hard part 5).
     """
-    new = mehrotra_step(lp, state, opts, fac_aat)
+    new = mehrotra_step(lp, state, opts, fac_aat, fac)
     active = state.status == jnp.int32(Status.RUNNING)
     return jax.tree_util.tree_map(
         lambda a, b: jnp.where(active, a, b), new, state)
@@ -592,8 +604,22 @@ def run_single(lp: LP, opts: SolverOptions, state0: IPMState | None = None
     def cond(st: IPMState):
         return (st.status == jnp.int32(Status.RUNNING)) & (st.it < opts.max_iter)
 
-    def body(st: IPMState):
-        return mehrotra_step(lp, st, opts, fac_aat)
+    if opts.refactor_period == 1:
+        def body(st: IPMState):
+            return mehrotra_step(lp, st, opts, fac_aat)
+    else:
+        stale_opts = opts.replace(refine_steps=opts.stale_solve_cg)
+
+        def body(st: IPMState):
+            # factor ONCE per body; the k-1 trailing steps reuse it as a
+            # (one-iteration-stale) preconditioner — see
+            # SolverOptions.refactor_period
+            fac = normal_eq.factor(lp.A, st.x / st.s, opts,
+                                   reg_scale=st.reg_boost)
+            st = mehrotra_step(lp, st, opts, fac_aat, fac)
+            for _ in range(opts.refactor_period - 1):
+                st = step_masked(lp, st, stale_opts, fac_aat, fac)
+            return st
 
     final = lax.while_loop(cond, body, state0)
     return finalize_status(final, opts)

@@ -59,6 +59,21 @@ class SolverOptions:
                                 # direction; lowering below the corrector's
                                 # stalls convergence at m~1024 scale (the
                                 # sigma/second-order quality matters)
+    # Factor reuse across iterations (throughput lever: the factor stage is
+    # ~half the measured batched step).  period=1 factors every iteration
+    # (the robust default).  period=k computes the Cholesky once per k
+    # iterations; the k-1 "stale" steps solve with the PREVIOUS factor as
+    # CG preconditioner against the FRESH matrix-free operator (fac.d2 is
+    # replaced with the current scaling, so the Krylov solve targets the
+    # true current normal matrix; only the preconditioner lags).  KKT
+    # refinement sweeps always use the true A, so direction quality is
+    # restored at second order.  Requires cg_operator="matrix_free"
+    # (an assembled CG operator would be stale along with the factor).
+    refactor_period: int = 1
+    # refine_steps (PCG iterations) used for the normal-eq solves of STALE
+    # steps — the lagged preconditioner needs a deeper Krylov space than
+    # the exact-factor solves (which default to refine_steps).
+    stale_solve_cg: int = 2
     matmul_precision: str = "highest"   # "highest" | "default"
     # Precision for assembling A D^2 A^T.  In matrix-free CG mode the
     # assembled matrix only builds the PRECONDITIONER (accuracy comes from
@@ -198,6 +213,15 @@ class SolverOptions:
             raise ValueError("refinement step counts must be >= 0")
         if self.refine_solve_cg < -1:
             raise ValueError("refine_solve_cg must be >= -1")
+        if self.refactor_period < 1:
+            raise ValueError("refactor_period must be >= 1")
+        if self.refactor_period > 1 and self.cg_operator != "matrix_free":
+            raise ValueError(
+                "refactor_period > 1 requires cg_operator='matrix_free' "
+                "(an assembled CG operator would be stale with the factor)")
+        if self.refactor_period > 1 and not self.linsys.startswith("dense"):
+            raise ValueError(
+                "refactor_period > 1 is only supported on the dense route")
         if self.a_storage not in ("float32", "bfloat16"):
             raise ValueError(f"unsupported a_storage {self.a_storage!r}")
         if self.a_storage == "bfloat16" and self.dtype != "float32":
