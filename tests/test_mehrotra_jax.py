@@ -113,3 +113,26 @@ def test_gondzio_correctors_reduce_iterations_f64():
         total0 += s0.iterations
         total2 += s2.iterations
     assert total2 <= total0
+
+
+def test_refactor_period_converges():
+    """refactor_period=2: the stale-factor steps (previous Cholesky as CG
+    preconditioner against the FRESH matrix-free operator) must still
+    converge to the constructed optimum — at a modest iteration premium,
+    not a stall (SolverOptions.refactor_period)."""
+    import ipx
+    from ipx.problem.generate import random_feasible_lp
+
+    o = ipx.SolverOptions(refactor_period=2, stale_solve_cg=3)
+    for seed in (0, 3):
+        g = random_feasible_lp(128, 256, seed=seed)
+        sol = ipx.solve(g.c, g.A, g.b, presolve=False, options=o)
+        assert sol.optimal, sol.status_name
+        rel = abs(sol.objective - g.obj_star) / (1 + abs(g.obj_star))
+        assert rel <= 2e-6, f"seed {seed}: rel err {rel:.2e}"
+    # guarded invalid combos
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ipx.SolverOptions(refactor_period=2, cg_operator="assembled")
+    with _pt.raises(ValueError):
+        ipx.SolverOptions(refactor_period=0)
