@@ -53,9 +53,13 @@ class Solution:
         (reference component R14 equivalent; SURVEY.md §5.5)."""
         lines = ["iter        mu     rp_rel     rd_rel    rel_gap  alpha_p  alpha_d    sigma"]
         # rescued solves report CUMULATIVE iterations across ladder rungs;
-        # the trace holds only the final rung's rows
+        # the trace holds only the final rung's rows, so stop at the last
+        # WRITTEN row (a written row always has mu > 0) instead of printing
+        # zero-filled rows up to the cumulative count (ADVICE r4)
         for i in range(min(self.iterations, len(self.trace))):
             mu, rp, rd, gap, ap, ad, sg, _ = self.trace[i]
+            if mu == 0.0 and rp == 0.0 and gap == 0.0:
+                break
             lines.append(f"{i:4d}  {mu:9.2e}  {rp:9.2e}  {rd:9.2e}  "
                          f"{gap:9.2e}  {ap:7.4f}  {ad:7.4f}  {sg:7.4f}")
         return "\n".join(lines)
@@ -192,14 +196,17 @@ def _maybe_augmented_fallback(lp: LP, st, opts: SolverOptions):
                                        aug)
     import dataclasses as _dc
     st2 = _run_single_resumed(lp, aug, state0)
+    # cumulative iterations across EVERY rung actually executed — including
+    # failed intermediate rungs, whose work was still spent (ADVICE r4)
+    it_spent = int(st.it) + int(st2.it)
     if int(st2.status) == int(St.OPTIMAL):
-        # cumulative iterations across rungs (r4 reporting fix)
-        return _dc.replace(st2, it=st2.it + st.it)
+        return _dc.replace(st2, it=np.int32(it_spent))
     # The warm seed can itself be too decentered (it came from a stalled
     # run); a cold augmented solve is the reliable second stage.
     st3 = _run_single(lp, aug)
+    it_spent += int(st3.it)
     if int(st3.status) == int(St.OPTIMAL):
-        return _dc.replace(st3, it=st3.it + st.it)
+        return _dc.replace(st3, it=np.int32(it_spent))
     # Final rung: the Schur-form quasi-definite route (capped scaling +
     # refinement against the true augmented operator) warm-started from the
     # stalled best iterate — the same rescue solve_batch uses in-batch.
@@ -210,12 +217,14 @@ def _maybe_augmented_fallback(lp: LP, st, opts: SolverOptions):
     st4 = _run_single_resumed(
         lp, asch, mehrotra.warm_start_state(lp, st.best_x, st.best_y,
                                             st.best_s, asch))
+    it_spent += int(st4.it)
     if int(st4.status) == int(St.OPTIMAL):
-        return _dc.replace(st4, it=st4.it + st.it)
+        return _dc.replace(st4, it=np.int32(it_spent))
     return st
 
 
-def _primal_polish(A, b, x, s, max_m: int = 8192):
+def _primal_polish(A, b, x, s, c=None, y=None, support_mask=None,
+                   max_m: int = 8192):
     """Host-side f64 primal polish (crossover-lite, SURVEY.md §7 hard
     part 1).
 
@@ -229,12 +238,22 @@ def _primal_polish(A, b, x, s, max_m: int = 8192):
     fights the projection (measured on the knife-edge 50x55 degenerate
     instance: obj err 2.3e-5 -> 9.2e-7, rp 5.2e-4 -> 7.3e-7 absolute).
 
-    Returns the polished x only when it strictly improves ||Ax-b||_inf and
-    keeps x >= 0; otherwise the input x. Skipped for m > max_m (host
-    lstsq cost)."""
+    Returns the polished x only when it strictly improves ||Ax-b||_inf,
+    keeps x >= 0, and moves the duality/complementarity gap by at most a
+    negligible amount: the polish changes x@s by exactly s_S @ dx_S, which
+    is ~0 for a CORRECT support (s_S ~ 0 by complementarity) and material
+    precisely when the support estimate is wrong (degenerate x_j ~ s_j) —
+    the failure mode ADVICE r4 flagged.  (An earlier guard on
+    |c@x - b@y| was rejected: that mismatch measures y's dual error, and a
+    polish that fixes x can legitimately move it.)  ``support_mask``
+    excludes columns (e.g. presolve-fixed variables) from the support
+    regardless of x/s.  Otherwise the input x.  Skipped for m > max_m
+    (host lstsq cost)."""
     if A.shape[0] > max_m:
         return x
     S = x > np.maximum(s, 0.0)
+    if support_mask is not None:
+        S = S & support_mask
     if not S.any():
         return x
     r = b - A @ x
@@ -249,9 +268,17 @@ def _primal_polish(A, b, x, s, max_m: int = 8192):
     if xp.min() < -1e-8 * (1.0 + float(np.abs(x).max())):
         return x
     xp = np.maximum(xp, 0.0)
-    if np.abs(A @ xp - b).max(initial=0.0) < np.abs(r).max(initial=0.0):
-        return xp
-    return x
+    if not (np.abs(A @ xp - b).max(initial=0.0) < np.abs(r).max(initial=0.0)):
+        return x
+    # complementarity-change guard (see docstring): |s_S @ dx_S| is the
+    # polish's exact x@s change; cap it at 1e-7 relative so an accepted
+    # polish can never move the reported rel_gap materially against the
+    # 1e-6 contract.  c/y only refine the normalization when available.
+    gap_move = abs(float(s[S] @ dxS))
+    denom = 1.0 + (abs(float(c @ x)) if c is not None else 0.0)
+    if gap_move > 1e-7 * denom:
+        return x
+    return xp
 
 
 def _solve_presolved(c, A, b, opts: SolverOptions) -> Solution:
@@ -301,12 +328,20 @@ def _solve_presolved(c, A, b, opts: SolverOptions) -> Solution:
     y = pres.postsolve_y(red.y)
     s = c - A.T @ y
     if int(red.status) == int(St.OPTIMAL):
-        x = _primal_polish(A, b, x, s)
+        x = _primal_polish(A, b, x, s, c=c, y=y,
+                           support_mask=~pres.fixed_mask)
     pobj = float(c @ x)
     rp_rel = float(np.abs(A @ x - b).max(initial=0.0)
                    / (1 + np.abs(b).max(initial=0.0)))
     rd_rel = float(np.maximum(-s, 0).max(initial=0.0)
                    / (1 + np.abs(c).max(initial=0.0)))
+    # rel_gap stays the REDUCED (Ruiz-scaled) problem's complementarity gap
+    # — the solver's convergence metric.  Recomputing x@s in original units
+    # can legitimately exceed tol on degenerate instances (unscaling
+    # amplifies x_j s_j cross terms) even when the certified solve met the
+    # contract; consistency of the reported metrics with the returned x is
+    # instead enforced by _primal_polish's no-worse-|c@x - b@y| acceptance
+    # guard (ADVICE r4).
     return Solution(
         x=x, y=y, s=s, objective=pobj, dual_objective=float(b @ y),
         status=red.status, iterations=red.iterations, rel_gap=red.rel_gap,
@@ -373,9 +408,12 @@ def solve_general(glp, options: Optional[SolverOptions] = None) -> Solution:
     if int(red.status) == int(St.OPTIMAL):
         # f64 support-restricted primal polish on the std-form triple
         # (same as _solve_presolved; see _primal_polish)
-        s_std = c_s - A_s.T @ pres.postsolve_y(red.y)
+        y_pol = pres.postsolve_y(red.y)
+        s_std = c_s - A_s.T @ y_pol
         z = _primal_polish(np.asarray(A_s, np.float64),
-                           np.asarray(b_s, np.float64), z, s_std)
+                           np.asarray(b_s, np.float64), z, s_std,
+                           c=np.asarray(c_s, np.float64), y=y_pol,
+                           support_mask=~pres.fixed_mask)
     x = post.x_orig(z)
 
     # postsolve duals to ORIGINAL problem units (ADVICE r1): std-form rows

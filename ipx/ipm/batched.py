@@ -92,16 +92,20 @@ def run_batch(lp: LP, opts: SolverOptions,
             lambda lp_i, st, f, fc: mehrotra.step_masked(
                 lp_i, st, opts, f, fc))
         step_stale = jax.vmap(
-            lambda lp_i, st, f, fc: mehrotra.step_masked(
-                lp_i, st, stale, f, fc))
+            lambda lp_i, st, f, fc, b0: mehrotra.step_masked_stale(
+                lp_i, st, stale, f, fc, b0))
 
         def body(st: IPMState):
+            # boost0 is the per-instance reg level the block's factor was
+            # built with; step_masked_stale freezes a lane's trailing stale
+            # steps after an in-block failure (ADVICE r4, medium).
+            boost0 = st.reg_boost
             fac = jax.vmap(
                 lambda a, d, rb: _ne.factor(a, d, opts, reg_scale=rb))(
                 lp.A, st.x / st.s, st.reg_boost)
             st = step_fresh(lp, st, fac_aat, fac)
             for _ in range(opts.refactor_period - 1):
-                st = step_stale(lp, st, fac_aat, fac)
+                st = step_stale(lp, st, fac_aat, fac, boost0)
             return st
 
     final = lax.while_loop(cond, body, state0)
@@ -135,16 +139,25 @@ def run_batch_fixed_iters(lp: LP, state: IPMState, num_iters: int,
     stale = opts.replace(refine_steps=opts.stale_solve_cg)
     step_fresh = jax.vmap(
         lambda lp_i, st, f, fc: mehrotra.mehrotra_step(lp_i, st, opts, f, fc))
-    step_stale = jax.vmap(
-        lambda lp_i, st, f, fc: mehrotra.mehrotra_step(lp_i, st, stale, f, fc))
+    def _stale_step(lp_i, st, f, fc, b0):
+        # boost-only guard (the bench path deliberately ignores status and
+        # the iteration cap): a lane whose step went non-finite under this
+        # block's factor would re-fail identically on the remaining stale
+        # steps and multiply reg_boost without testing it (ADVICE r4)
+        new = mehrotra.mehrotra_step(lp_i, st, stale, f, fc)
+        return jax.tree_util.tree_map(
+            lambda a, b: jnp.where(st.reg_boost <= b0, a, b), new, st)
+
+    step_stale = jax.vmap(_stale_step)
 
     def body(_, st):
+        boost0 = st.reg_boost
         fac = jax.vmap(
             lambda a, d, rb: _ne.factor(a, d, opts, reg_scale=rb))(
             lp.A, st.x / st.s, st.reg_boost)
         st = step_fresh(lp, st, fac_aat, fac)
         for _k in range(opts.refactor_period - 1):
-            st = step_stale(lp, st, fac_aat, fac)
+            st = step_stale(lp, st, fac_aat, fac, boost0)
         return st
 
     return lax.fori_loop(0, num_iters // opts.refactor_period, body, state)

@@ -545,13 +545,40 @@ def mehrotra_step(lp: LP, state: IPMState, opts: SolverOptions,
 
 def step_masked(lp: LP, state: IPMState, opts: SolverOptions,
                 fac_aat=None, fac=None) -> IPMState:
-    """Step only while RUNNING; converged/failed instances are frozen.
+    """Step only while RUNNING and under the iteration cap; frozen otherwise.
 
     Written with ``where`` (not ``cond``) so it is vmap-safe: under vmap a
-    cond becomes a select anyway (SURVEY.md §7 hard part 5).
+    cond becomes a select anyway (SURVEY.md §7 hard part 5).  The explicit
+    ``it < max_iter`` guard keeps any instance from overshooting the cap
+    while OTHER batch lanes (or trailing refactor_period steps) keep the
+    loop body executing — without it, Solution.iterations could exceed
+    max_iter and the final trace row was repeatedly overwritten (ADVICE r4).
     """
     new = mehrotra_step(lp, state, opts, fac_aat, fac)
-    active = state.status == jnp.int32(Status.RUNNING)
+    active = ((state.status == jnp.int32(Status.RUNNING))
+              & (state.it < jnp.int32(opts.max_iter)))
+    return jax.tree_util.tree_map(
+        lambda a, b: jnp.where(active, a, b), new, state)
+
+
+def step_masked_stale(lp: LP, state: IPMState, opts: SolverOptions,
+                      fac_aat, fac, boost0) -> IPMState:
+    """Trailing STALE step of a refactor_period block.
+
+    On top of :func:`step_masked`'s freeze conditions, the step is skipped
+    once ``reg_boost`` has escalated above ``boost0`` (the level the block's
+    factor was built with).  reg_boost only ever rises on a non-finite step,
+    so this detects "some step in this block already failed": re-running the
+    remaining stale steps would revert to the same iterate with the same
+    stale preconditioner and fail identically, multiplying reg_boost toward
+    the cap without the boosted regularization ever being TESTED with a
+    fresh factor (ADVICE r4, medium).  Skipping hands control back to the
+    next block, whose fresh factor actually uses the escalated reg.
+    """
+    new = mehrotra_step(lp, state, opts, fac_aat, fac)
+    active = ((state.status == jnp.int32(Status.RUNNING))
+              & (state.it < jnp.int32(opts.max_iter))
+              & (state.reg_boost <= boost0))
     return jax.tree_util.tree_map(
         lambda a, b: jnp.where(active, a, b), new, state)
 
@@ -613,12 +640,15 @@ def run_single(lp: LP, opts: SolverOptions, state0: IPMState | None = None
         def body(st: IPMState):
             # factor ONCE per body; the k-1 trailing steps reuse it as a
             # (one-iteration-stale) preconditioner — see
-            # SolverOptions.refactor_period
+            # SolverOptions.refactor_period.  boost0 freezes the trailing
+            # steps after any in-block failure (step_masked_stale).
+            boost0 = st.reg_boost
             fac = normal_eq.factor(lp.A, st.x / st.s, opts,
                                    reg_scale=st.reg_boost)
             st = mehrotra_step(lp, st, opts, fac_aat, fac)
             for _ in range(opts.refactor_period - 1):
-                st = step_masked(lp, st, stale_opts, fac_aat, fac)
+                st = step_masked_stale(lp, st, stale_opts, fac_aat, fac,
+                                       boost0)
             return st
 
     final = lax.while_loop(cond, body, state0)

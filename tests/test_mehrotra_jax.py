@@ -136,3 +136,40 @@ def test_refactor_period_converges():
         ipx.SolverOptions(refactor_period=2, cg_operator="assembled")
     with _pt.raises(ValueError):
         ipx.SolverOptions(refactor_period=0)
+
+def test_refactor_period_never_overshoots_max_iter():
+    """With refactor_period>1 and max_iter not a multiple of the period, the
+    trailing stale steps of the last block must freeze at the cap: iteration
+    counts may never exceed max_iter and the trace's last row is written at
+    most once (ADVICE r4 low #1).  Checked on single and batched runs."""
+    import ipx
+    from ipx.problem.generate import random_feasible_lp
+    from ipx.problem.lp import make_lp
+
+    o = ipx.SolverOptions(refactor_period=3, stale_solve_cg=3, max_iter=7,
+                          augmented_fallback=False)
+    g = random_feasible_lp(48, 96, seed=1)
+    sol = ipx.solve(g.c, g.A, g.b, presolve=False, options=o)
+    assert sol.iterations <= o.max_iter
+
+    lps = [make_lp(*(lambda h: (h.c, h.A, h.b))(random_feasible_lp(
+        48, 96, seed=s))) for s in range(3)]
+    sols = ipx.solve_batch(lps, options=o)
+    for s in sols:
+        assert s.iterations <= o.max_iter
+
+
+def test_batched_no_overshoot_mixed_convergence():
+    """A batch mixing an easy instance with one that hits the cap: the
+    capped instance must report exactly max_iter iterations even while other
+    lanes keep the while_loop alive (step_masked's it<max_iter guard)."""
+    import ipx
+    from ipx.problem.generate import random_feasible_lp
+    from ipx.problem.lp import make_lp
+
+    o = ipx.SolverOptions(max_iter=4, augmented_fallback=False)
+    lps = [make_lp(*(lambda h: (h.c, h.A, h.b))(random_feasible_lp(
+        48, 96, seed=s))) for s in range(4)]
+    sols = ipx.solve_batch(lps, options=o)
+    for s in sols:
+        assert s.iterations <= o.max_iter

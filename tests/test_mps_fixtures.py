@@ -65,3 +65,61 @@ def test_solve_mps_matches_highs_on_fixtures(name):
     assert sol.optimal, sol.status_name
     assert abs(sol.objective - ref_obj) <= 1e-6 * (1 + abs(ref_obj)), (
         f"{name}: ipx {sol.objective} vs HiGHS {ref_obj}")
+
+
+# ---------------------------------------------------------------------------
+# Hand-authored classic fixtures with hand-derived optima (VERDICT r4 item 8):
+# the pinned objective values below are derived BY HAND in each file's header
+# comment — independent of any solver — so the MPS -> solution pipeline is
+# validated against ground truth, not merely self-consistent with HiGHS.
+# ---------------------------------------------------------------------------
+
+CLASSIC = [
+    # (file, pinned hand-derived objective, hand-derived x*)
+    ("classic01_max.mps", 21.0, [3.0, 3.0, 2.0, -1.0, 6.0, 1.0]),
+    ("classic02.mps", 5.0, [-1.0, 3.0, 0.0]),
+]
+
+
+@pytest.mark.parametrize("name,obj,xstar", CLASSIC)
+def test_classic_pinned_optimum_f64(name, obj, xstar):
+    sol = ipx.solve_mps(_path(name),
+                        ipx.SolverOptions(dtype="float64", tol=1e-11,
+                                          max_iter=128))
+    assert sol.optimal, sol.status_name
+    assert abs(sol.objective - obj) <= 1e-9 * (1 + abs(obj)), sol.objective
+    np.testing.assert_allclose(sol.x, xstar, atol=1e-7)
+
+
+@pytest.mark.parametrize("name,obj,xstar", CLASSIC)
+def test_classic_pinned_optimum_f32(name, obj, xstar):
+    sol = ipx.solve_mps(_path(name), ipx.SolverOptions(dtype="float32"))
+    assert sol.optimal, sol.status_name
+    assert abs(sol.objective - obj) <= 1e-6 * (1 + abs(obj)), sol.objective
+    np.testing.assert_allclose(sol.x, xstar, atol=1e-4)
+
+
+@pytest.mark.parametrize("name,obj,xstar", CLASSIC)
+def test_classic_highs_agrees_with_hand_derivation(name, obj, xstar):
+    glp = read_mps(_path(name))
+    sign = -1.0 if getattr(glp, "maximize", False) else 1.0
+    ref = linprog(glp.c, A_ub=glp.A_ub, b_ub=glp.b_ub,
+                  A_eq=glp.A_eq, b_eq=glp.b_eq,
+                  bounds=list(zip(glp.lb, glp.ub)), method="highs")
+    assert ref.status == 0
+    highs_obj = sign * (ref.fun + glp.obj_offset)
+    assert abs(highs_obj - obj) <= 1e-9 * (1 + abs(obj)), highs_obj
+
+
+@pytest.mark.parametrize("name", [c[0] for c in CLASSIC])
+def test_classic_parser_identity(name):
+    from ipx import native as native_mod
+    if native_mod.load_mps_lib() is None:
+        pytest.skip("no C++ toolchain")
+    a = read_mps(_path(name), use_native=False)
+    b = read_mps(_path(name), use_native=True)
+    np.testing.assert_array_equal(a.c, b.c)
+    np.testing.assert_array_equal(np.asarray(a.A_ub), np.asarray(b.A_ub))
+    np.testing.assert_array_equal(a.lb, b.lb)
+    np.testing.assert_array_equal(a.ub, b.ub)
+    assert a.obj_offset == b.obj_offset
