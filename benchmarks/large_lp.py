@@ -36,7 +36,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run_one(m: int, n: int, row: int, warm: bool,
-            a_storage: str = "float32", project: bool = True) -> dict:
+            a_storage: str = "float32", project: bool = True,
+            gondzio: int = 0) -> dict:
     import jax
     jax.config.update("jax_compilation_cache_dir", os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -74,7 +75,8 @@ def run_one(m: int, n: int, row: int, warm: bool,
     obj_star = float(obj_star)
     mesh = meshlib.make_mesh(batch=1, row=row)
     opts = ipx.SolverOptions(dtype="float32", a_storage=a_storage,
-                             project_feasibility=project)
+                             project_feasibility=project,
+                             gondzio_correctors=gondzio)
     t0 = time.perf_counter()
     sol = ipx.solve_large(c, A, b, mesh=mesh, options=opts)
     dt = time.perf_counter() - t0
@@ -90,7 +92,7 @@ def run_one(m: int, n: int, row: int, warm: bool,
     rel_err = abs(sol.objective - obj_star) / (1 + abs(obj_star))
     rec = {
         "m": m, "n": n, "p": row, "a_storage": a_storage,
-        "project_feasibility": project,
+        "project_feasibility": project, "gondzio_correctors": gondzio,
         "status": sol.status_name, "iterations": sol.iterations,
         "rel_gap": sol.rel_gap, "obj_rel_err_vs_known": rel_err,
         "seconds_total_incl_compile": round(dt, 2),
@@ -137,6 +139,10 @@ def main() -> int:
     ap.add_argument("--platform", choices=["cpu", "tpu"], default=None,
                     help="cpu = virtual mesh (row>1 devices forced via "
                          "XLA_FLAGS before jax import)")
+    ap.add_argument("--gondzio", type=int, default=0,
+                    help="Gondzio centrality correctors (VERDICT r4 item 6: "
+                         "the m=1024 'keep 0' verdict re-tested at a scale "
+                         "where the factor dominates the step)")
     ap.add_argument("--sweep", action="store_true")
     ap.add_argument("--out", default=None,
                     help="output jsonl (default: large_lp_results.jsonl)")
@@ -159,7 +165,8 @@ def main() -> int:
         n = args.n or 2 * m
         try:
             rec = run_one(m, n, args.row, args.warm, args.a_storage,
-                          project=not args.no_project)
+                          project=not args.no_project,
+                          gondzio=args.gondzio)
         except Exception as e:  # noqa: BLE001 — record OOM/compile failures
             rec = {"m": m, "n": n, "p": args.row,
                    "status": f"ERROR: {type(e).__name__}",
