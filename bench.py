@@ -92,6 +92,14 @@ def main() -> int:
                    help="KKT refinement sweeps for BOTH predictor and "
                         "corrector (A/B knob; the split3-assembly "
                         "preconditioner may carry fewer sweeps)")
+    p.add_argument("--corrector-refines", type=int, default=-1,
+                   help="KKT refinement sweeps for the CORRECTOR only "
+                        "(-1 = same as --refines).  Asymmetric probe: the "
+                        "predictor's quality drives sigma and the "
+                        "second-order term (measured load-bearing), while "
+                        "the corrector direction gets one more chance via "
+                        "the feasibility projection — a cheaper corrector "
+                        "sweep count may keep the probe 4/4")
     p.add_argument("--assembly-precision", choices=["highest", "high"],
                    default="highest",
                    help="split depth of the fused factor's assembly operand "
@@ -161,6 +169,8 @@ def main() -> int:
     if args.refines != 2:
         opt_kw["kkt_refine_steps"] = args.refines
         opt_kw["predictor_refine_steps"] = args.refines
+    if args.corrector_refines >= 0:
+        opt_kw["kkt_refine_steps"] = args.corrector_refines
     opts = ipx.SolverOptions(dtype="float32", max_iter=args.iters + 1,
                              chol_backend=args.chol_backend,
                              refine_steps=args.cg,

@@ -486,6 +486,52 @@ def _potrf_left_scan(Ms: jax.Array, w: int = 128):
     return lax.fori_loop(0, nb, body, (LT0, W0))
 
 
+def _potrf_left_scan_inplace(Ms: jax.Array, w: int = 128):
+    """:func:`_potrf_left_scan` with the factor computed IN M's OWN BUFFER.
+
+    Left-looking Cholesky has the classic in-place structure: panel step k
+    reads M's row panel [o:o+w] (untouched until now) and LT rows < o
+    (already written), then overwrites rows [o:o+w] with the new LT rows —
+    reads and writes never collide, so ONE (m, m) carry serves as both M
+    and LT (XLA aliases fori_loop carries in place).  vs the two-buffer
+    scan this halves the factor's transient footprint — at m=32768 the
+    separate LT0 buffer is 4.3GB, the difference between the config-4
+    contract size fitting a 16GB chip and not (VERDICT r4 missing #1).
+    The only delta from _potrf_left_scan's algebra: the accumulation
+    operand column block is masked to rows < o (those rows of the carry
+    are LT; rows >= o still hold M and must not contribute — in the
+    two-buffer form they were structurally zero).
+    """
+    from ipx.kernels import cholesky as pk
+    from jax import lax
+    m = Ms.shape[-1]
+    assert m % w == 0, f"m={m} must be a multiple of {w}"
+    nb = m // w
+    hp = jax.lax.Precision.HIGHEST
+    cols = jnp.arange(m)[None, :]
+    rows = jnp.arange(m)[:, None]
+
+    def body(k, carry):
+        X, W = carry
+        o = k * w
+        rowM = lax.dynamic_slice(X, (o, 0), (w, m))
+        colX = lax.dynamic_slice(X, (0, o), (m, w))
+        colLT = jnp.where(rows < o, colX, 0.0)
+        Ct = rowM - jnp.matmul(colLT.T, X, precision=hp)
+        Dblk = lax.dynamic_slice(Ct, (0, o), (w, w))
+        Ld1, Wd1 = pk._factor_block_twolevel(Dblk[None], mosaic=False)
+        Ld, Wd = Ld1[0], Wd1[0]
+        Pt = jnp.matmul(Wd, Ct, precision=hp)
+        newrow = jnp.where(cols >= o + w, Pt, 0.0)
+        newrow = lax.dynamic_update_slice(newrow, Ld.T, (0, o))
+        X = lax.dynamic_update_slice(X, newrow, (o, 0))
+        W = lax.dynamic_update_slice(W, Wd[None], (k, 0, 0))
+        return X, W
+
+    W0 = jnp.zeros((nb, w, w), jnp.float32)
+    return lax.fori_loop(0, nb, body, (Ms.astype(jnp.float32), W0))
+
+
 def _blocked_potrf_left_panels(Ms: jax.Array, nb: int = 128, precision=None):
     """Left-looking blocked Cholesky emitting SUFFIX-ONLY transposed row
     panels directly: ``(panels, W)`` with ``panels[k]`` the (nb, m - k*nb)

@@ -164,3 +164,35 @@ def test_pair_solves_odd_batch_padding():
         scale = float(jnp.max(jnp.abs(ref)))
         assert float(jnp.max(jnp.abs(x1 - ref))) / scale < 1e-4, B
         assert float(jnp.max(jnp.abs(x2 - ref))) / scale < 1e-4, B
+
+
+@pytest.mark.parametrize("m", [256, 512])
+def test_potrf_left_scan_inplace_matches_scan(m):
+    """The in-place (single-buffer) scan factor is algebraically identical
+    to the two-buffer scan: the only delta is the explicit rows<o mask on
+    the accumulation column block (structurally-zero rows in the two-buffer
+    form).  This is the m=32k config-4 memory-wall path (r5)."""
+    M = jnp.asarray(_rand_spd(m, seed=m + 7).astype(np.float32))
+    LT1, W1 = normal_eq._potrf_left_scan(M, 128)
+    LT2, W2 = normal_eq._potrf_left_scan_inplace(M, 128)
+    scale = float(jnp.max(jnp.abs(LT1)))
+    np.testing.assert_allclose(np.asarray(LT2), np.asarray(LT1),
+                               atol=5e-5 * scale, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(W2), np.asarray(W1),
+                               atol=5e-4, rtol=1e-3)
+    # and against the f64 oracle
+    ref = np.linalg.cholesky(np.asarray(M).astype(np.float64)).T
+    np.testing.assert_allclose(np.asarray(LT2), ref, rtol=2e-3,
+                               atol=5e-5 * np.abs(ref).max())
+
+
+def test_potrf_left_scan_inplace_reconstructs():
+    """L @ L^T of the in-place factor reconstructs M (the layout the p=1
+    contract-scale gate in schur._dist_cholesky returns as Lpanel)."""
+    m = 512
+    M = jnp.asarray(_rand_spd(m, seed=99).astype(np.float32))
+    LT, W = normal_eq._potrf_left_scan_inplace(M, 128)
+    L = np.asarray(LT).T
+    rec = L @ L.T
+    np.testing.assert_allclose(rec, np.asarray(M), rtol=5e-3,
+                               atol=1e-4 * float(np.abs(np.asarray(M)).max()))
