@@ -40,15 +40,17 @@ def main() -> int:
     p.add_argument("--chol-backend",
                    choices=["xla", "pallas", "pallas_left", "panels",
                             "hybrid", "blocked", "blocked_left"],
-                   default="panels",
-                   help="factorization backend A/B (production: panels — "
-                        "XLA left-looking factor emitting suffix-only "
-                        "panels + the Mosaic panel pair-solve; measured "
-                        "2663 vs 2554 (blocked_left) inst-iters/s at "
-                        "B=256 bf16, r4 same-day A/B; the panel "
-                        "pair-solve runs at the HBM stream floor where "
-                        "the (m,m)-LT kernel's strided stripe DMA was "
-                        "8.8x off)")
+                   default="pallas_left",
+                   help="factorization backend A/B (production: pallas_left "
+                        "— the FUSED Mosaic assemble+factor kernel (M never "
+                        "round-trips HBM) + the Mosaic panel pair-solve; r5 "
+                        "honest matrix: 2850.0 vs 2724.5 (panels) "
+                        "inst-iters/s at B=256 bf16 AND better solves/s "
+                        "(237.5 vs 209.6), probe 4/4 no-rescue.  "
+                        "refactor_period=2 reaches 3538.5 inst-iters/s "
+                        "but at median 21 vs 12 iterations — a ~40% "
+                        "time-to-solution REGRESSION; kept as a knob, "
+                        "not the default)")
     p.add_argument("--chunks", type=int, default=1,
                    help="split the batch into this many sequential "
                         "device-program chunks (the B=1024 contract batch "

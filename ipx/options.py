@@ -254,21 +254,26 @@ class SolverOptions:
         """The measured-fastest TPU batch configuration (bench.py's config).
 
         Trades the robust defaults for speed on well-scaled dense batches:
-        left-looking blocked factor backend + fused A-resident matvecs, one
-        CG refinement per solve, direct (CG-less) feasibility projection
-        and refinement-sweep solves.  Validated at the contract shapes
-        (B=256..1024, m=1024, n=2048): convergence probe 4/4 OPTIMAL at
-        rel gap <= 1e-6 (refine_solve_cg=0 costs ~2 extra iterations but
-        nets +20% iteration rate AND slightly better solves/s).  NOT the
-        default because degenerate/badly-scaled instances need the robust
-        settings (e.g. the fuzz battery drops to 29/30 without projection
-        CG).  If A's entries are bf16-representable (or a bf16-rounded
-        instance is acceptable), add ``a_storage="bfloat16"`` — halves A
-        residency and every A stream (bench.py does; its generator rounds
-        A to bf16 so the instances stay exact).  Keyword overrides are
-        applied on top.
+        the fused Mosaic assemble+factor backend (``pallas_left`` — the
+        normal matrix never round-trips HBM between assembly and
+        factorization) + fused A-resident matvecs, one CG refinement per
+        solve, direct (CG-less) feasibility projection and refinement-sweep
+        solves.  r5 honest A/B at the contract shapes (B=256, m=1024,
+        n=2048, bf16-A, no-rescue probe 4/4 OPTIMAL <= 1e-6): 2850.0
+        inst-iters/s and 237.5 est LPs/s — best on BOTH normalizations
+        (panels: 2724.5 / 209.6).  ``refactor_period=2`` lifts the
+        iteration rate to 3538.5 but needs median 21 vs 12 iterations to
+        converge (structural stale-preconditioner lag, NOT fixable by
+        deeper stale CG — measured scg 2/3/4) — a ~40% time-to-solution
+        regression, so it stays opt-in.  NOT the library default because
+        degenerate/badly-scaled instances need the robust settings (e.g.
+        the fuzz battery drops to 29/30 without projection CG).  If A's
+        entries are bf16-representable (or a bf16-rounded instance is
+        acceptable), add ``a_storage="bfloat16"`` — halves A residency and
+        every A stream (bench.py does; its generator rounds A to bf16 so
+        the instances stay exact).  Keyword overrides are applied on top.
         """
-        base = dict(dtype="float32", chol_backend="panels",
+        base = dict(dtype="float32", chol_backend="pallas_left",
                     matvec_backend="fused", refine_steps=1,
                     proj_cg_iters=0, refine_solve_cg=0)
         base.update(kw)

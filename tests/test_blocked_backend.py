@@ -121,7 +121,7 @@ def test_throughput_preset():
     from ipx.problem.generate import random_feasible_lp
     opts = ipx.SolverOptions.throughput()
     assert opts.a_storage == "float32"   # presets must not perturb user data
-    assert opts.chol_backend == "panels" and opts.proj_cg_iters == 0
+    assert opts.chol_backend == "pallas_left" and opts.proj_cg_iters == 0
     assert opts.refine_solve_cg == 0
     assert ipx.SolverOptions.throughput(refine_steps=2).refine_steps == 2
     g = random_feasible_lp(96, 192, seed=7)
