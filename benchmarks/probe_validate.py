@@ -34,6 +34,16 @@ def main() -> int:
     p.add_argument("--cg", type=int, default=1)
     p.add_argument("--assembly-precision", default="highest")
     p.add_argument("--max-iter", type=int, default=48)
+    p.add_argument("--proj-cg-iters", type=int, default=0)
+    p.add_argument("--refine-solve-cg", type=int, default=0)
+    p.add_argument("--a-storage", choices=["float32", "bfloat16"],
+                    default="bfloat16")
+    p.add_argument("--matvec", choices=["fused", "xla"], default="fused")
+    p.add_argument("--library-defaults", action="store_true",
+                    help="ignore every tuning flag: run SolverOptions() "
+                         "robust defaults (f32 A) with only max_iter and "
+                         "augmented_fallback=False applied — the reliability "
+                         "reference point")
     args = p.parse_args()
 
     import jax
@@ -52,6 +62,8 @@ def main() -> int:
         A = jax.random.normal(k1, (m, n), jnp.float32) / jnp.sqrt(
             jnp.asarray(n, jnp.float32))
         A = A.astype(jnp.bfloat16)
+        if args.a_storage == "float32":
+            A = A.astype(jnp.float32)   # same rounded instance, f32-stored
         Af = A.astype(jnp.float32)
         perm = jax.random.permutation(k2, n)
         x_star = jnp.zeros(n, jnp.float32).at[perm[:m]].set(
@@ -76,11 +88,17 @@ def main() -> int:
         kw["kkt_refine_steps"] = args.corrector_refines
     if args.assembly_precision != "highest":
         kw["assembly_precision"] = args.assembly_precision
-    opts = ipx.SolverOptions(
-        dtype="float32", max_iter=args.max_iter,
-        chol_backend=args.chol_backend, refine_steps=args.cg,
-        matvec_backend="fused", refine_solve_cg=0, proj_cg_iters=0,
-        a_storage="bfloat16", augmented_fallback=False, **kw)
+    if args.library_defaults:
+        opts = ipx.SolverOptions(dtype="float32", max_iter=args.max_iter,
+                                 augmented_fallback=False)
+    else:
+        opts = ipx.SolverOptions(
+            dtype="float32", max_iter=args.max_iter,
+            chol_backend=args.chol_backend, refine_steps=args.cg,
+            matvec_backend=args.matvec,
+            refine_solve_cg=args.refine_solve_cg,
+            proj_cg_iters=args.proj_cg_iters,
+            a_storage=args.a_storage, augmented_fallback=False, **kw)
 
     sols = ipx.solve_batch(blp, options=opts)
     statuses = [s.status_name for s in sols]
@@ -88,11 +106,14 @@ def main() -> int:
     iters = [s.iterations for s in sols]
     n_opt = sum(s.optimal for s in sols)
     print(json.dumps({
-        "config": {"chol_backend": args.chol_backend,
+        "config": {"library_defaults": args.library_defaults,
+                   "a_storage": args.a_storage, "matvec": args.matvec,
+                   "chol_backend": args.chol_backend,
                    "refactor_period": args.refactor_period,
                    "stale_cg": args.stale_cg, "refines": args.refines,
                    "corrector_refines": args.corrector_refines,
-                   "cg": args.cg,
+                   "cg": args.cg, "proj_cg": args.proj_cg_iters,
+                   "refine_solve_cg": args.refine_solve_cg,
                    "assembly_precision": args.assembly_precision},
         "count": B, "optimal": n_opt,
         "statuses": statuses,
@@ -100,6 +121,13 @@ def main() -> int:
             (g for g, s in zip(gaps, sols) if s.optimal), default=np.nan)),
         "iters_median": float(np.median(iters)),
         "iters_max": int(max(iters)),
+        # how close the failures got (near-miss vs hard stall adjudicates
+        # whether the honest fix is more refinement or a looser exit)
+        "non_optimal": [
+            {"status": s.status_name, "rel_gap": float(s.rel_gap),
+             "rp_rel": float(s.rp_rel), "rd_rel": float(s.rd_rel),
+             "iters": int(s.iterations)}
+            for s in sols if not s.optimal],
     }), flush=True)
     return 0
 

@@ -184,12 +184,22 @@ def _maybe_augmented_fallback(lp: LP, st, opts: SolverOptions):
 
     if not opts.augmented_fallback or opts.linsys != "dense":
         return st
-    # Only genuine numerical breakdowns — a MAX_ITER exit is the user's
-    # iteration budget and must be respected.  NUMERICAL_FAILURE (NaN/non-
-    # finite factorization, typically badly scaled f32 data) is rescued the
-    # same way as STALLED: the augmented system does not square the
-    # conditioning.
-    if int(st.status) not in (int(St.STALLED), int(St.NUMERICAL_FAILURE)):
+    # Only genuine numerical breakdowns — a far-from-converged MAX_ITER
+    # exit is the user's iteration budget and must be respected.
+    # NUMERICAL_FAILURE (NaN/non-finite factorization, typically badly
+    # scaled f32 data) is rescued the same way as STALLED: the augmented
+    # system does not square the conditioning.  A NEAR-MISS MAX_ITER —
+    # rel_gap within the endgame-patience guard band (stall_gap_guard *
+    # tol) — is rescued too: with the r5 patience guard these lanes used
+    # to exit STALLED mid-crawl (and were rescued); the budget was spent
+    # crawling at ratio-test-noise-collapsed steps and the ladder is the
+    # designed second stage for exactly that wedge.
+    near_miss_cap = (
+        int(st.status) == int(St.MAX_ITER)
+        and opts.stall_gap_guard > 0
+        and float(st.rel_gap) <= opts.stall_gap_guard * opts.tol)
+    if (int(st.status) not in (int(St.STALLED), int(St.NUMERICAL_FAILURE))
+            and not near_miss_cap):
         return st
     aug = opts.replace(linsys="augmented")
     state0 = mehrotra.warm_start_state(lp, st.best_x, st.best_y, st.best_s,

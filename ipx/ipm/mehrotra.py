@@ -431,6 +431,20 @@ def mehrotra_step(lp: LP, state: IPMState, opts: SolverOptions,
             (1, 1))[0, 0]
         no_progress = ((state.it >= K)
                        & (mu_n > jnp.asarray(0.5, dtype) * mu_old))
+        # Endgame patience (see options.stall_gap_guard): a near-converged
+        # crawl — rel_gap within a small multiple of tol, mu shaving a few
+        # %/iteration under ratio-test-noise-collapsed steps (with noisy
+        # single-step up-ticks) — must run toward max_iter, not be declared
+        # STALLED ~10 crawl-iterations short of the certificate.  Within
+        # the guard band the windowed progress test loosens from "halved
+        # over the window" to "shrank >=2% over the window": a 1-3%/iter
+        # crawl passes easily, a true degenerate hover still exits.
+        if opts.stall_gap_guard > 0:
+            near = rel_gap <= jnp.asarray(
+                opts.stall_gap_guard * opts.tol, dtype)
+            crawl_stuck = ((state.it >= K)
+                           & (mu_n > jnp.asarray(0.98, dtype) * mu_old))
+            no_progress = jnp.where(near, crawl_stuck, no_progress)
         stalled = stalled | no_progress
     # Non-finite step (f32 PSD loss in the endgame): instead of aborting,
     # keep the previous iterate, escalate the Tikhonov regularization, and

@@ -94,6 +94,14 @@ class SolverOptions:
     stall_window: int = 10      # STALLED if mu has not halved in this many
                                 # iterations (degenerate f32 endgame hover;
                                 # 0 disables)
+    # Endgame patience: the windowed stall detector does NOT fire while
+    # rel_gap <= stall_gap_guard * tol — measured (r5, m=512-1024 traces):
+    # runs wedge at 1.3-2.4e-6 with the primal step collapsed to 1e-3..1e-4
+    # by ratio-test noise, yet still shave ~3%/iteration off mu; the
+    # detector was killing solves ~10 crawl-iterations short of the 1e-6
+    # certificate.  Within the guard band the crawl runs to max_iter
+    # (honest MAX_ITER if it never lands).  0 disables the guard band.
+    stall_gap_guard: float = 16.0
     # After a non-finite step the iteration keeps the previous iterate and
     # multiplies the Tikhonov reg by reg_boost_step (capped at reg_boost_cap)
     # before retrying — f32 endgame recovery (see mehrotra.py).
