@@ -279,13 +279,18 @@ def main() -> int:
     # --- correctness probe: full convergent solve on a sub-batch -----------
     # >=1 instance from EVERY chunk (VERDICT r2 weak #7: probing only the
     # first chunk left "did chunk 7 also converge" open at B=1024), padded
-    # to 4 with extra instances from chunk 0.
-    per_chunk = max(1, 4 // args.chunks)
+    # to PROBE_N with extra instances from chunk 0.  PROBE_N=8 (r5): a
+    # 4-instance probe masked a real no-rescue stall rate for four rounds
+    # — the r4 default config scored 10/16 on a wider validation
+    # (benchmarks/probe_validate.py) while its 4-instance probe read 4/4.
+    PROBE_N = 8
+    per_chunk = max(1, PROBE_N // args.chunks)
     probe_parts = [jax.tree_util.tree_map(
         lambda leaf: leaf[:per_chunk], lp_c) for lp_c in chunk_lps]
-    if per_chunk * args.chunks < 4:
+    if per_chunk * args.chunks < PROBE_N:
         probe_parts.append(jax.tree_util.tree_map(
-            lambda leaf: leaf[per_chunk:4 - per_chunk * (args.chunks - 1)],
+            lambda leaf: leaf[per_chunk:
+                              PROBE_N - per_chunk * (args.chunks - 1)],
             chunk_lps[0]))
     probe = jax.tree_util.tree_map(
         lambda *leaves: jnp.concatenate(leaves, axis=0), *probe_parts)
@@ -295,9 +300,10 @@ def main() -> int:
     # median 2 iterations", which was really "stage-1 STALL on 2+/4
     # instances, rescued by the augmented ladder": a config whose real
     # solves pay a stall + warm-started second program is not the config
-    # the headline timed.
+    # the headline timed.  max_iter=64 is the library-default budget (the
+    # r5 endgame-patience crawl needs the tail iterations).
     sols = ipx.solve_batch(
-        probe, options=ipx.SolverOptions(dtype="float32", max_iter=48,
+        probe, options=ipx.SolverOptions(dtype="float32", max_iter=64,
                                          chol_backend=args.chol_backend,
                                          refine_steps=args.cg,
                                          matvec_backend="fused",
