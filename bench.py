@@ -317,6 +317,29 @@ def main() -> int:
     med_it = float(np.median(iters)) if iters else float("nan")
     solves_per_s = batched_iters_per_s * B / med_it if med_it else 0.0
 
+    # --- PRODUCTION probe: same instances WITH the rescue ladder -----------
+    # r5: the 16-instance validation showed every throughput config has a
+    # real stage-1 stall rate (~10-12/16) that 4-instance probes masked for
+    # four rounds; in production the augmented rescue ladder converges the
+    # stalls.  This probe certifies the production path end-to-end and its
+    # CUMULATIVE iterations (across rescue rungs) give the honest solves/s
+    # estimate — with the caveat that rescue iterations are costed at the
+    # stage-1 iteration rate (the augmented rungs' per-iteration cost
+    # differs; the estimate is labeled as such).
+    sols_r = ipx.solve_batch(
+        probe, options=ipx.SolverOptions(dtype="float32", max_iter=64,
+                                         chol_backend=args.chol_backend,
+                                         refine_steps=args.cg,
+                                         matvec_backend="fused",
+                                         refine_solve_cg=args.refine_solve_cg,
+                                         a_storage=args.a_storage,
+                                         **opt_kw))
+    n_opt_r = sum(s.optimal for s in sols_r)
+    iters_r = [s.iterations for s in sols_r]
+    med_it_r = float(np.median(iters_r)) if iters_r else float("nan")
+    prod_solves_per_s = (batched_iters_per_s * B / med_it_r
+                         if med_it_r else 0.0)
+
     # Useful-FLOP model per instance-iteration, reconciled with BASELINE.md
     # (VERDICT r1 weak #3): normal-matrix assembly (A*d2)@A.T = 2 m^2 n,
     # Cholesky m^3/3, O(mn) vector work (matvecs/refinement) dropped as
@@ -351,6 +374,12 @@ def main() -> int:
             "probe_statuses": [s.status_name for s in sols],
             "probe_max_rel_gap": float(np.max(gaps)) if gaps else None,
             "probe_median_iters": med_it,
+            # production path: same instances WITH the rescue ladder; the
+            # solves/s estimate costs rescue iterations at the stage-1
+            # iteration rate (see comment at the probe)
+            "probe_production_optimal": f"{n_opt_r}/{probe_B}",
+            "probe_production_median_iters": med_it_r,
+            "est_lps_solved_per_s_production": round(prod_solves_per_s, 2),
             "est_tflops": round(est_tflops, 2),
             "flop_model": "B*(2*m^2*n + m^3/3) per batched iter",
             "mfu_vs_bf16_peak": round(mfu, 4) if mfu is not None else None,

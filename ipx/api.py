@@ -201,7 +201,9 @@ def _maybe_augmented_fallback(lp: LP, st, opts: SolverOptions):
     if (int(st.status) not in (int(St.STALLED), int(St.NUMERICAL_FAILURE))
             and not near_miss_cap):
         return st
-    aug = opts.replace(linsys="augmented")
+    # refactor_period is a dense-route-only lever; rescue rungs switch
+    # linsys, so reset it (otherwise the replace() raises mid-rescue)
+    aug = opts.replace(linsys="augmented", refactor_period=1)
     state0 = mehrotra.warm_start_state(lp, st.best_x, st.best_y, st.best_s,
                                        aug)
     import dataclasses as _dc
@@ -223,7 +225,7 @@ def _maybe_augmented_fallback(lp: LP, st, opts: SolverOptions):
     # Measured on the fuzz battery's knife-edge case (50x55 degenerate,
     # spread 1.5, seed 3): augmented LU stalls at 2.9e-6 while this rung
     # converges to 1.5e-7 with margin.
-    asch = opts.replace(linsys="augmented_schur")
+    asch = opts.replace(linsys="augmented_schur", refactor_period=1)
     st4 = _run_single_resumed(
         lp, asch, mehrotra.warm_start_state(lp, st.best_x, st.best_y,
                                             st.best_s, asch))
@@ -635,7 +637,7 @@ def solve_batch(lps, options: Optional[SolverOptions] = None) -> list:
         idx = np.asarray(bad)
         sub_lp = jax.tree_util.tree_map(
             lambda leaf: jnp.asarray(leaf[idx]), blp_h)
-        aug = opts.replace(linsys="augmented_schur")
+        aug = opts.replace(linsys="augmented_schur", refactor_period=1)
         state0 = jax.vmap(
             lambda lp_i, x, y, s: mehrotra.warm_start_state(
                 lp_i, x, y, s, aug))(
