@@ -365,6 +365,19 @@ def factor(A: jax.Array, d2: jax.Array, opts: SolverOptions,
     def local(A_loc, d2_loc, j_rep):
         # A_loc: (m, n/p) this device's columns; j_rep: (m,) replicated.
         i = lax.axis_index(ROW_AXIS)
+        if bf16 and p == 1:
+            # m=32k single-shard memory path (r5: the general path below
+            # hit RESOURCE_EXHAUSTED at m=32768 — probe_32k_wall.py): the
+            # reg diagonal is SEEDED into the assembly loop's accumulator
+            # (acc0 — the hook _assemble_partial_scan was designed with)
+            # and the p=1-identity psum_scatter plus the post-scatter
+            # .at[].add copy never exist.  Each avoided (m, m) f32 buffer
+            # is 4.3GB at m=32768.
+            dr = jnp.arange(m)
+            acc0 = jnp.zeros((m, m), jnp.float32).at[dr, dr].set(reg)
+            partial = _assemble_partial_scan(A_loc, d2_loc, j_rep=j_rep,
+                                             acc0=acc0)
+            return _dist_cholesky(partial, p, mp)
         if bf16:
             # blockwise split3 assembly with the Jacobi scale folded INTO
             # the accumulation loop (no separate scaled (m, m) copy; see
