@@ -459,7 +459,8 @@ def solve_mps(path: str, options: Optional[SolverOptions] = None) -> Solution:
 
 
 def solve_large(c, A=None, b=None, mesh=None,
-                options: Optional[SolverOptions] = None) -> Solution:
+                options: Optional[SolverOptions] = None,
+                exec_chunk_iters: int = 0) -> Solution:
     """Solve one LARGE standard-form LP with row-block sharded normal
     equations (BASELINE config 4: m=32k, n=64k scale).
 
@@ -477,6 +478,20 @@ def solve_large(c, A=None, b=None, mesh=None,
     two-stage rescue the dense route uses, composed with the sharded
     factor.  Disable with ``options.augmented_fallback=False`` or pick a
     route explicitly with ``options.linsys="sharded"/"sharded_schur"``.
+
+    ``exec_chunk_iters > 0`` caps each DEVICE EXECUTION at that many IPM
+    iterations and resumes (in process, via the checkpoint/resume
+    machinery) until ``options.max_iter`` or convergence — the chunked
+    execution mode for environments where a long single execution dies at
+    the device/runtime level.  Measured necessity (r5, v5e via the axon
+    tunnel): at m>=24576 every single-program execution past ~16-32
+    iterations faults with "TPU device error" while the SAME program
+    executes 16-iteration runs repeatedly without fault
+    (benchmarks/probe_32k_wall.py pins the per-stage evidence); chunked
+    executions carried m=24576 to the 1e-6 gap.  Numerically identical to
+    one long run: the iterate is the complete algorithm state
+    (SURVEY.md §5.3/§5.4), only the loop-invariant AA^T projection factor
+    is recomputed per execution.
     """
     from ipx import mesh as meshlib
     from ipx.linsys import schur
@@ -514,10 +529,29 @@ def solve_large(c, A=None, b=None, mesh=None,
             A=jax.device_put(lp.A, sh["A"]),
             b=jax.device_put(lp.b, sh["b"]),
             obj_offset=jax.device_put(lp.obj_offset, sh["obj_offset"]))
+    from ipx.status import Status
     with schur.use_mesh(mesh):
-        st = _run_single(lp, opts)
-        jax.block_until_ready(st.x)
-        from ipx.status import Status
+        if exec_chunk_iters > 0:
+            from ipx import obs
+            caps = list(range(exec_chunk_iters, opts.max_iter + 1,
+                              exec_chunk_iters))
+            if not caps or caps[-1] != opts.max_iter:
+                caps.append(opts.max_iter)
+            st = None
+            for cap in caps:
+                o = opts.replace(max_iter=cap)
+                if st is None:
+                    st = _run_single(lp, o)
+                else:
+                    st = _run_single_resumed(lp, o,
+                                             obs.resume_state(st, cap))
+                jax.block_until_ready(st.x)
+                if int(st.status) not in (int(Status.RUNNING),
+                                          int(Status.MAX_ITER)):
+                    break
+        else:
+            st = _run_single(lp, opts)
+            jax.block_until_ready(st.x)
         bad = int(st.status) in (int(Status.STALLED), int(Status.MAX_ITER),
                                  int(Status.NUMERICAL_FAILURE))
         if bad and opts.augmented_fallback and opts.linsys == "sharded":

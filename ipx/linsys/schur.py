@@ -280,13 +280,19 @@ def x_slice(x, i, mp: int):
 def _assemble_partial_scan(A_loc, d2_loc, blk: int = 2048, j_rep=None,
                            acc0=None):
     """Local partial  (A_loc * d2_loc) @ A_loc^T  as a fori_loop over
-    column blocks — for bf16-STORED A (config 4 at m=32k: an f32
-    materialization of A alone would be 8.6GB and OOM the chip).  Each
-    block upcasts (m, blk) to f32 in registers/VMEM scope, splits the f32
-    (A*d2) operand into 3 exact bf16 passes against the bf16 block (the
-    same algebra as normal_eq._mm_split3_vs_bf16 — f32-faithful since
-    bf16 x bf16 products accumulate exactly in f32), and accumulates into
-    the (m, m) f32 partial.  O(1) program size in n.
+    column blocks — the memory-lean assembly for config 4 at m>=24k.
+    O(1) program size in n, and the only (m, m) buffer is the loop-carried
+    accumulator.
+
+    bf16-stored A (an f32 materialization alone would be 8.6GB at m=32k):
+    each block upcasts (m, blk) to f32 in registers/VMEM scope, splits the
+    f32 (A*d2) operand into 3 exact bf16 passes against the bf16 block
+    (the same algebra as normal_eq._mm_split3_vs_bf16 — f32-faithful since
+    bf16 x bf16 products accumulate exactly in f32).
+
+    f32-stored A (r5): the block product is one HIGHEST-precision matmul —
+    the point here is skipping the (m, n) ``scaled`` copy the direct
+    assembly materializes (4.8GB at m=24576), not the pass structure.
 
     ``j_rep`` (optional) applies the Jacobi scale j (W A^T) j PER BLOCK
     inside the loop (the scale commutes with the column-block sum), and
@@ -299,18 +305,26 @@ def _assemble_partial_scan(A_loc, d2_loc, blk: int = 2048, j_rep=None,
     while nl % w:
         w //= 2
     nb = nl // w
+    bf16 = A_loc.dtype == jnp.bfloat16
 
     def body(t, acc):
         Ab = lax.dynamic_slice(A_loc, (0, t * w), (m, w))
         d2b = lax.dynamic_slice(d2_loc, (t * w,), (w,))
         Wb = Ab.astype(jnp.float32) * d2b[None, :]
-        out = None
-        for _ in range(3):
-            h = Wb.astype(jnp.bfloat16)
-            Wb = Wb - h.astype(jnp.float32)
-            prod = jax.lax.dot_general(h, Ab, (((1,), (1,)), ((), ())),
-                                       preferred_element_type=jnp.float32)
-            out = prod if out is None else out + prod
+        if bf16:
+            out = None
+            for _ in range(3):
+                h = Wb.astype(jnp.bfloat16)
+                Wb = Wb - h.astype(jnp.float32)
+                prod = jax.lax.dot_general(
+                    h, Ab, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                out = prod if out is None else out + prod
+        else:
+            out = jax.lax.dot_general(
+                Wb, Ab, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
         if j_rep is not None:
             out = out * j_rep[:, None] * j_rep[None, :]
         return acc + out
@@ -365,14 +379,16 @@ def factor(A: jax.Array, d2: jax.Array, opts: SolverOptions,
     def local(A_loc, d2_loc, j_rep):
         # A_loc: (m, n/p) this device's columns; j_rep: (m,) replicated.
         i = lax.axis_index(ROW_AXIS)
-        if bf16 and p == 1:
-            # m=32k single-shard memory path (r5: the general path below
-            # hit RESOURCE_EXHAUSTED at m=32768 — probe_32k_wall.py): the
-            # reg diagonal is SEEDED into the assembly loop's accumulator
-            # (acc0 — the hook _assemble_partial_scan was designed with)
-            # and the p=1-identity psum_scatter plus the post-scatter
-            # .at[].add copy never exist.  Each avoided (m, m) f32 buffer
-            # is 4.3GB at m=32768.
+        if p == 1 and m >= 4096:
+            # single-shard contract-scale memory path (r5: the general
+            # path below hit RESOURCE_EXHAUSTED at m=32768 —
+            # probe_32k_wall.py): scan assembly (no (m, n) scaled copy for
+            # f32 A, no f32 materialization for bf16 A), the reg diagonal
+            # SEEDED into the accumulator (acc0 — the hook
+            # _assemble_partial_scan was designed with), and the
+            # p=1-identity psum_scatter plus the post-scatter .at[].add
+            # copy never exist.  Each avoided (m, m) f32 buffer is 4.3GB
+            # at m=32768.
             dr = jnp.arange(m)
             acc0 = jnp.zeros((m, m), jnp.float32).at[dr, dr].set(reg)
             partial = _assemble_partial_scan(A_loc, d2_loc, j_rep=j_rep,

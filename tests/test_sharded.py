@@ -174,3 +174,24 @@ def test_sharded_bf16_storage():
     rel = abs(sol.objective - obj_star) / (1 + abs(obj_star))
     assert sol.optimal, sol.status_name
     assert rel <= 2e-6, f"rel err {rel:.2e}"
+
+
+def test_solve_large_exec_chunked_matches_unchunked():
+    """exec_chunk_iters (capped device executions + in-process resume)
+    continues the run across executions: same status and the same optimum
+    to f32-trajectory tolerance (r5; the m>=24k device-fault workaround).
+    NOT bit-identical: the boundary refresh recomputes the carried
+    residuals in a different XLA program, whose few-ulp reduction-order
+    differences the endgame amplifies chaotically — both runs converge."""
+    import ipx
+    from ipx.problem.generate import random_feasible_lp
+
+    g = random_feasible_lp(256, 512, seed=4)
+    o = ipx.SolverOptions(augmented_fallback=False)
+    full = ipx.solve_large(g.c, g.A, g.b, options=o)
+    chunked = ipx.solve_large(g.c, g.A, g.b, options=o, exec_chunk_iters=5)
+    assert chunked.status == full.status
+    assert abs(chunked.objective - full.objective) <= (
+        1e-5 * (1 + abs(full.objective))), (chunked.objective, full.objective)
+    rel = abs(chunked.objective - g.obj_star) / (1 + abs(g.obj_star))
+    assert rel <= 2e-6, rel
