@@ -195,3 +195,25 @@ def test_solve_large_exec_chunked_matches_unchunked():
         1e-5 * (1 + abs(full.objective))), (chunked.objective, full.objective)
     rel = abs(chunked.objective - g.obj_star) / (1 + abs(g.obj_star))
     assert rel <= 2e-6, rel
+
+
+def test_p1_lt_layout_path_matches_dense(monkeypatch):
+    """The p=1 contract-scale memory path (in-place scan factor stored
+    TRANSPOSED + LT-consuming solves) must give the same solution as the
+    general sharded path.  The size gate (mp>=4096) is lowered so the path
+    runs on CPU at test scale."""
+    import ipx
+    from ipx.linsys import schur
+    from ipx.problem.generate import random_feasible_lp
+
+    monkeypatch.setattr(
+        schur, "_p1_lt_layout",
+        lambda p, mp: p == 1 and schur._dblk(mp) == schur._NB and mp >= 256)
+    g = random_feasible_lp(512, 1024, seed=6)
+    o = ipx.SolverOptions(augmented_fallback=False)
+    from ipx import mesh as meshlib
+    mesh = meshlib.make_mesh(batch=1, row=1)
+    sol = ipx.solve_large(g.c, g.A, g.b, mesh=mesh, options=o)
+    assert sol.optimal, sol.status_name
+    rel = abs(sol.objective - g.obj_star) / (1 + abs(g.obj_star))
+    assert rel <= 2e-6, rel
