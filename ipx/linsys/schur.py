@@ -413,15 +413,16 @@ def factor(A: jax.Array, d2: jax.Array, opts: SolverOptions,
     fdt = jnp.float32 if bf16 else A.dtype
 
     # Global Jacobi scale from diag(M) = (A*A) @ d2 — one sharded matvec,
-    # no assembly needed.  bf16-stored A: blockwise f32 upcast (A*A in
-    # bf16 would round the squares).
-    if bf16:
-        diag = jax.shard_map(
-            lambda Al, dl: lax.psum(_diag_scan(Al, dl), ROW_AXIS),
-            mesh=mesh, in_specs=(P(None, ROW_AXIS), P(ROW_AXIS)),
-            out_specs=P(), check_vma=False)(A, d2)
-    else:
-        diag = mv(A * A, d2, opts.matmul_precision)
+    # no assembly needed.  Blockwise for BOTH storages (r5): the direct
+    # ``mv(A * A, d2)`` materializes an (m, n) f32 temp — 4.5GB at
+    # m=24576 and the single largest allocation in the OOM'd contract-
+    # scale program; _diag_scan's (m, blk) blocks cost ~50MB.  (bf16 A
+    # additionally needs the blockwise f32 upcast: A*A in bf16 would
+    # round the squares.)
+    diag = jax.shard_map(
+        lambda Al, dl: lax.psum(_diag_scan(Al, dl), ROW_AXIS),
+        mesh=mesh, in_specs=(P(None, ROW_AXIS), P(ROW_AXIS)),
+        out_specs=P(), check_vma=False)(A, d2)
     tiny = jnp.asarray(jnp.finfo(fdt).tiny, fdt)
     j = lax.rsqrt(jnp.maximum(diag, tiny))
     reg = (jnp.asarray(opts.reg, fdt)
@@ -444,8 +445,8 @@ def factor(A: jax.Array, d2: jax.Array, opts: SolverOptions,
             acc0 = jnp.zeros((m, m), jnp.float32).at[dr, dr].set(reg)
             # narrower accumulation blocks above m=16k: the (m, blk) f32
             # block temp is 200MB at m=24576/blk=2048, and the f32
-            # 24k-with-projection program missed fitting HBM by 40MB
-            blk = 512 if m >= 16384 else 2048
+            # 24k-with-projection program missed fitting HBM by tens of MB
+            blk = 256 if m >= 16384 else 2048
             partial = _assemble_partial_scan(A_loc, d2_loc, blk=blk,
                                              j_rep=j_rep, acc0=acc0)
             return _dist_cholesky(partial, p, mp)
