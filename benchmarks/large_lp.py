@@ -37,7 +37,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def run_one(m: int, n: int, row: int, warm: bool,
             a_storage: str = "float32", project: bool = True,
-            gondzio: int = 0) -> dict:
+            gondzio: int = 0, exec_chunk: int = 0) -> dict:
     import jax
     jax.config.update("jax_compilation_cache_dir", os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -78,13 +78,15 @@ def run_one(m: int, n: int, row: int, warm: bool,
                              project_feasibility=project,
                              gondzio_correctors=gondzio)
     t0 = time.perf_counter()
-    sol = ipx.solve_large(c, A, b, mesh=mesh, options=opts)
+    sol = ipx.solve_large(c, A, b, mesh=mesh, options=opts,
+                          exec_chunk_iters=exec_chunk)
     dt = time.perf_counter() - t0
     t_warm = None
     if warm:
         # identical call => in-process jit cache hit: pure device time
         t1 = time.perf_counter()
-        sol = ipx.solve_large(c, A, b, mesh=mesh, options=opts)
+        sol = ipx.solve_large(c, A, b, mesh=mesh, options=opts,
+                              exec_chunk_iters=exec_chunk)
         t_warm = time.perf_counter() - t1
     dev = jax.devices()[0]
     stats = getattr(dev, "memory_stats", lambda: None)() or {}
@@ -93,6 +95,7 @@ def run_one(m: int, n: int, row: int, warm: bool,
     rec = {
         "m": m, "n": n, "p": row, "a_storage": a_storage,
         "project_feasibility": project, "gondzio_correctors": gondzio,
+        "exec_chunk_iters": exec_chunk,
         "status": sol.status_name, "iterations": sol.iterations,
         "rel_gap": sol.rel_gap, "obj_rel_err_vs_known": rel_err,
         "seconds_total_incl_compile": round(dt, 2),
@@ -139,6 +142,11 @@ def main() -> int:
     ap.add_argument("--platform", choices=["cpu", "tpu"], default=None,
                     help="cpu = virtual mesh (row>1 devices forced via "
                          "XLA_FLAGS before jax import)")
+    ap.add_argument("--exec-chunk", type=int, default=0,
+                    help="cap each device execution at this many IPM "
+                         "iterations and resume in process (the m>=24k "
+                         "single-execution device-fault workaround; see "
+                         "ipx.api.solve_large)")
     ap.add_argument("--gondzio", type=int, default=0,
                     help="Gondzio centrality correctors (VERDICT r4 item 6: "
                          "the m=1024 'keep 0' verdict re-tested at a scale "
@@ -166,7 +174,7 @@ def main() -> int:
         try:
             rec = run_one(m, n, args.row, args.warm, args.a_storage,
                           project=not args.no_project,
-                          gondzio=args.gondzio)
+                          gondzio=args.gondzio, exec_chunk=args.exec_chunk)
         except Exception as e:  # noqa: BLE001 — record OOM/compile failures
             rec = {"m": m, "n": n, "p": args.row,
                    "status": f"ERROR: {type(e).__name__}",

@@ -530,28 +530,36 @@ def solve_large(c, A=None, b=None, mesh=None,
             b=jax.device_put(lp.b, sh["b"]),
             obj_offset=jax.device_put(lp.obj_offset, sh["obj_offset"]))
     from ipx.status import Status
-    with schur.use_mesh(mesh):
-        if exec_chunk_iters > 0:
-            from ipx import obs
-            caps = list(range(exec_chunk_iters, opts.max_iter + 1,
-                              exec_chunk_iters))
-            if not caps or caps[-1] != opts.max_iter:
-                caps.append(opts.max_iter)
-            st = None
-            for cap in caps:
-                o = opts.replace(max_iter=cap)
-                if st is None:
-                    st = _run_single(lp, o)
-                else:
-                    st = _run_single_resumed(lp, o,
-                                             obs.resume_state(st, cap))
-                jax.block_until_ready(st.x)
-                if int(st.status) not in (int(Status.RUNNING),
-                                          int(Status.MAX_ITER)):
-                    break
-        else:
-            st = _run_single(lp, opts)
+
+    def _run_stage(o, chunk, state0=None):
+        """One solve stage; chunk > 0 caps each device execution and
+        resumes (both the normal-equations stage AND the rescue must be
+        chunked — the m>=24k device fault hits any long execution)."""
+        if chunk <= 0:
+            st = (_run_single(lp, o) if state0 is None
+                  else _run_single_resumed(lp, o, state0))
             jax.block_until_ready(st.x)
+            return st
+        from ipx import obs
+        caps = list(range(chunk, o.max_iter + 1, chunk))
+        if not caps or caps[-1] != o.max_iter:
+            caps.append(o.max_iter)
+        st = None
+        for cap in caps:
+            oc = o.replace(max_iter=cap)
+            if st is None and state0 is None:
+                st = _run_single(lp, oc)
+            else:
+                s0 = state0 if st is None else obs.resume_state(st, cap)
+                st = _run_single_resumed(lp, oc, s0)
+            jax.block_until_ready(st.x)
+            if int(st.status) not in (int(Status.RUNNING),
+                                      int(Status.MAX_ITER)):
+                break
+        return st
+
+    with schur.use_mesh(mesh):
+        st = _run_stage(opts, exec_chunk_iters)
         bad = int(st.status) in (int(Status.STALLED), int(Status.MAX_ITER),
                                  int(Status.NUMERICAL_FAILURE))
         if bad and opts.augmented_fallback and opts.linsys == "sharded":
@@ -560,8 +568,7 @@ def solve_large(c, A=None, b=None, mesh=None,
             sch = opts.replace(linsys="sharded_schur")
             state0 = warm_start_state(lp, st.best_x, st.best_y, st.best_s,
                                       sch)
-            st2 = _run_single_resumed(lp, sch, state0)
-            jax.block_until_ready(st2.x)
+            st2 = _run_stage(sch, exec_chunk_iters, state0)
             if float(st2.best_merit) < float(st.best_merit):
                 import dataclasses
                 # report CUMULATIVE iterations across both stages
