@@ -67,23 +67,24 @@ class NormalEqFactor:
 
 
 def _mm_split3_vs_bf16(W: jax.Array, Abf_t: jax.Array):
-    """f32 matrix x EXACTLY-bf16 matrix as THREE single-pass bf16 MXU
-    matmuls: W = h1 + h2 + h3 + err with each h_i the bf16 rounding of the
-    running residual (|err| <= 2^-24 |W|), and bf16 x bf16 products
-    accumulate exactly in f32 — so the sum IS the f32 product to f32
-    accuracy.  Same decomposition as the stripe kernels' _split3_dot
-    (ipx/kernels/fused.py, measured both faster AND slightly more accurate
-    than precision=HIGHEST on a bf16-representable operand: HIGHEST
-    re-splits BOTH operands into 6 passes).
+    """f32 matrix x EXACTLY-bf16 matrix, f32-faithful.
+
+    r5 CORRECTION: the original hand-rolled three-pass bf16 split was
+    SILENTLY FOLDED to a single bf16 pass by XLA's bf16-propagation pass
+    on TPU — every f32 intermediate (the d2-scaled operand and both
+    residuals) fed only bf16-consuming slots, so the whole chain was
+    demoted to bf16 and h2 = h3 computed as exact zeros (measured:
+    split3 == one-pass bit-for-bit, rel err ~4e-4 on endgame-spread d2;
+    an optimization_barrier does not stop the pass).  The mixed
+    f32 x bf16 HIGHEST dot keeps the split INSIDE the dot, where no HLO
+    pass can break it: measured rel err 2.1e-7 on the same operands,
+    and only the f32 side is split (~3 passes) because the bf16 side
+    needs none.
     """
-    out = None
-    for _ in range(3):
-        h = W.astype(jnp.bfloat16)
-        W = W - h.astype(jnp.float32)
-        p = jax.lax.dot_general(h, Abf_t, (((W.ndim - 1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        out = p if out is None else out + p
-    return out
+    return jax.lax.dot_general(
+        W, Abf_t, (((W.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
 
 
 def assemble(A: jax.Array, d2: jax.Array, precision: str = "highest"):
@@ -133,16 +134,14 @@ def assemble(A: jax.Array, d2: jax.Array, precision: str = "highest"):
         # operand round-trips HBM three times, while the per-block chain
         # fuses into each product's operand pipeline.
         if split3:
+            # r5: ONE mixed f32 x bf16 HIGHEST dot — the hand-rolled pass
+            # loop was folded to a single bf16 pass by XLA's
+            # bf16-propagation pass on TPU (see _mm_split3_vs_bf16)
             Wb = A[alo:ahi].astype(jnp.float32) * d2[None, :]
-            out = None
-            for _ in range(passes):
-                h = Wb.astype(jnp.bfloat16)
-                Wb = Wb - h.astype(jnp.float32)
-                p = jax.lax.dot_general(h, A[blo:bhi],
-                                        (((1,), (1,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
-                out = p if out is None else out + p
-            return out
+            return jax.lax.dot_general(Wb, A[blo:bhi],
+                                       (((1,), (1,)), ((), ())),
+                                       preferred_element_type=jnp.float32,
+                                       precision=jax.lax.Precision.HIGHEST)
         from ipx.numerics import precision_of
         Wb = A[alo:ahi].astype(jnp.float32) * d2[None, :]
         return jax.lax.dot_general(

@@ -362,20 +362,19 @@ def _assemble_partial_scan(A_loc, d2_loc, blk: int = 2048, j_rep=None,
         Ab = lax.dynamic_slice(A_loc, (0, t * w), (m, w))
         d2b = lax.dynamic_slice(d2_loc, (t * w,), (w,))
         Wb = Ab.astype(jnp.float32) * d2b[None, :]
-        if bf16:
-            out = None
-            for _ in range(3):
-                h = Wb.astype(jnp.bfloat16)
-                Wb = Wb - h.astype(jnp.float32)
-                prod = jax.lax.dot_general(
-                    h, Ab, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                out = prod if out is None else out + prod
-        else:
-            out = jax.lax.dot_general(
-                Wb, Ab, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+        # ONE mixed-precision HIGHEST dot for BOTH storages.  The r1-r4
+        # hand-rolled 3-pass bf16 split was SILENTLY FOLDED to a single
+        # bf16 pass by XLA's bf16-propagation pass on TPU (every f32
+        # intermediate fed only bf16 slots, so the whole chain was demoted
+        # — measured r5: split3 == one-pass bit-for-bit, rel err 4e-4;
+        # optimization_barrier does not stop the pass).  The mixed
+        # f32 x bf16 HIGHEST dot splits the f32 operand INSIDE the dot,
+        # where no HLO pass can break it: measured rel err 2.1e-7 on the
+        # same operands.
+        out = jax.lax.dot_general(
+            Wb, Ab, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
         if j_rep is not None:
             out = out * j_rep[:, None] * j_rep[None, :]
         return acc + out
