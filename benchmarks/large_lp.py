@@ -97,7 +97,8 @@ def run_one(m: int, n: int, row: int, warm: bool,
         "project_feasibility": project, "gondzio_correctors": gondzio,
         "exec_chunk_iters": exec_chunk,
         "status": sol.status_name, "iterations": sol.iterations,
-        "rel_gap": sol.rel_gap, "obj_rel_err_vs_known": rel_err,
+        "rel_gap": sol.rel_gap, "rp_rel": sol.rp_rel, "rd_rel": sol.rd_rel,
+        "obj_rel_err_vs_known": rel_err,
         "seconds_total_incl_compile": round(dt, 2),
         "platform": dev.platform,
     }
