@@ -65,11 +65,19 @@ def run_one(m: int, n: int, row: int, warm: bool,
         s_star = jnp.zeros(n, jnp.float32).at[perm[m:]].set(
             jax.random.uniform(k4, (n - m,), jnp.float32, 0.5, 2.0))
         y_star = jax.random.normal(k5, (m,), jnp.float32)
-        c = A.T @ y_star + s_star
-        b = A @ x_star
+        # HIGHEST-precision construction (r5): at default precision these
+        # dots run as single bf16 passes on TPU (the bf16-propagation
+        # demotion is strongest when A is a bf16 round-trip), making
+        # (x*, y*, s*) optimal only to ~4e-4 for the GENERATED instance —
+        # obj_rel_err_vs_known then measured generator error, not solver
+        # error (m=4096 bf16: OPTIMAL at rel_gap 1.1e-8 with "obj err"
+        # 8.5e-4 — impossible for a true optimum).
+        hp = jax.lax.Precision.HIGHEST
+        c = jnp.matmul(A.T, y_star, precision=hp) + s_star
+        b = jnp.matmul(A, x_star, precision=hp)
         if a_storage == "bfloat16":
             A = A.astype(jnp.bfloat16)   # lossless: rounded above
-        return c, A, b, jnp.vdot(c, x_star)
+        return c, A, b, jnp.vdot(c, x_star, precision=hp)
 
     c, A, b, obj_star = gen()
     obj_star = float(obj_star)
